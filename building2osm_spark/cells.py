@@ -1,0 +1,224 @@
+"""Hierarchical int64 spatial cell index (H3/S2 stand-in, numpy-vectorized).
+
+The sandbox has no h3/s2 library (SURVEY.md env facts), so the engine ships
+its own deterministic cell scheme. It plays the role of the reference's
+adaptive quadtree partitioner (building2osm.py:406-515): cells are the join
+keys for point-in-polygon cover joins, kNN ring expansion, and skew-aware
+repartitioning (hot-cell children explosion = the reference's force_divide
+recursion at building2osm.py:496-515, expressed as data).
+
+Scheme: equirectangular quadtree on (lon, lat). At resolution r (0..26) the
+world is a 2^r × 2^r grid; a cell id packs (r << 54) | (ix << 27) | iy into
+a positive int64. Parent/children are bit shifts, so `compact`/`uncompact`
+and k-ring neighbours are O(1) integer ops — broadcast-join friendly.
+
+Resolution ↔ size at the equator: 360°/2^r per cell; r=15 ≈ 0.011° ≈ 1.2 km,
+r=18 ≈ 150 m, r=20 ≈ 38 m. For building-scale geometry at Norwegian
+latitudes, r 15-18 gives 1-100 buildings per cell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 26
+_IX_SHIFT = 27
+_RES_SHIFT = 54
+_COORD_MASK = (1 << 27) - 1
+
+
+def cell_id(lon, lat, res: int) -> np.ndarray:
+    """Vectorized (lon, lat) degrees → int64 cell at resolution res."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} outside [0, {MAX_RES}]")
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = np.int64(1) << res
+    ix = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    return (np.int64(res) << _RES_SHIFT) | (ix << _IX_SHIFT) | iy
+
+
+def cell_res(cell) -> np.ndarray:
+    return (np.asarray(cell, dtype=np.int64) >> _RES_SHIFT).astype(np.int64)
+
+
+def cell_ixy(cell) -> tuple[np.ndarray, np.ndarray]:
+    cell = np.asarray(cell, dtype=np.int64)
+    return (cell >> _IX_SHIFT) & _COORD_MASK, cell & _COORD_MASK
+
+
+def cell_parent(cell, parent_res: int | None = None) -> np.ndarray:
+    """Parent cell at parent_res (default: one level up)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell_res(cell)
+    pres = (res - 1) if parent_res is None else np.full_like(res, parent_res)
+    ix, iy = cell_ixy(cell)
+    shift = res - pres
+    return (pres << _RES_SHIFT) | ((ix >> shift) << _IX_SHIFT) | (iy >> shift)
+
+
+def cell_children(cell) -> np.ndarray:
+    """The 4 children of each cell: shape (..., 4)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell_res(cell) + 1
+    ix, iy = cell_ixy(cell)
+    ix2, iy2 = ix << 1, iy << 1
+    quads = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            quads.append((res << _RES_SHIFT) | ((ix2 + dx) << _IX_SHIFT) | (iy2 + dy))
+    return np.stack(quads, axis=-1)
+
+
+def cell_bounds(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(minlon, minlat, maxlon, maxlat) of each cell."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell_res(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    ix, iy = cell_ixy(cell)
+    w, h = 360.0 / n, 180.0 / n
+    minlon = ix.astype(np.float64) * w - 180.0
+    minlat = iy.astype(np.float64) * h - 90.0
+    return minlon, minlat, minlon + w, minlat + h
+
+
+def cell_center(cell) -> tuple[np.ndarray, np.ndarray]:
+    minlon, minlat, maxlon, maxlat = cell_bounds(cell)
+    return 0.5 * (minlon + maxlon), 0.5 * (minlat + maxlat)
+
+
+def k_ring(cell: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k of one cell (the (2k+1)² block,
+    clipped at grid edges). Drives kNN ring expansion (SURVEY.md J12)."""
+    cell = np.int64(cell)
+    res = int(cell_res(cell))
+    n = np.int64(1) << res
+    ix, iy = cell_ixy(cell)
+    xs = np.arange(max(0, int(ix) - k), min(int(n) - 1, int(ix) + k) + 1, dtype=np.int64)
+    ys = np.arange(max(0, int(iy) - k), min(int(n) - 1, int(iy) + k) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return ((np.int64(res) << _RES_SHIFT) | (gx.ravel() << _IX_SHIFT) | gy.ravel())
+
+
+def ring_shell(cell: int, k: int) -> np.ndarray:
+    """Only the cells at exactly Chebyshev distance k (the expansion shell)."""
+    if k == 0:
+        return np.asarray([cell], dtype=np.int64)
+    full = k_ring(cell, k)
+    inner = set(k_ring(cell, k - 1).tolist())
+    return np.asarray([c for c in full.tolist() if c not in inner], dtype=np.int64)
+
+
+def cover_bbox(minlon: float, minlat: float, maxlon: float, maxlat: float, res: int) -> np.ndarray:
+    """All cells at `res` whose rectangle intersects the bbox (conservative
+    cover — a superset is correct for candidate generation; PIP refines)."""
+    n = np.int64(1) << res
+    ix0 = int(np.clip(np.floor((minlon + 180.0) / 360.0 * int(n)), 0, int(n) - 1))
+    ix1 = int(np.clip(np.floor((maxlon + 180.0) / 360.0 * int(n)), 0, int(n) - 1))
+    iy0 = int(np.clip(np.floor((minlat + 90.0) / 180.0 * int(n)), 0, int(n) - 1))
+    iy1 = int(np.clip(np.floor((maxlat + 90.0) / 180.0 * int(n)), 0, int(n) - 1))
+    xs = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    ys = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return (np.int64(res) << _RES_SHIFT) | (gx.ravel() << _IX_SHIFT) | gy.ravel()
+
+
+def cover_polygon(rings: list[np.ndarray], res: int, max_cells: int = 4096) -> np.ndarray:
+    """Cell cover of a polygon (list of rings, ring 0 outer): bbox cells whose
+    rectangle plausibly intersects the outer ring. Cells fully outside the
+    outer ring (all 4 corners outside AND no vertex inside the cell) are
+    pruned; remaining cells are a conservative cover.
+
+    If the bbox cover at `res` would exceed max_cells, the resolution is
+    lowered — covers stay bounded regardless of polygon size (a county
+    boundary doesn't explode into millions of cells).
+    """
+    from .geom import points_in_ring  # local import to avoid cycle
+
+    outer = np.asarray(rings[0], dtype=np.float64)
+    minlon, minlat, maxlon, maxlat = (
+        outer[:, 0].min(), outer[:, 1].min(), outer[:, 0].max(), outer[:, 1].max(),
+    )
+    use_res = res
+    while use_res > 0:
+        n = 1 << use_res
+        ncells = (
+            (int((maxlon + 180.0) / 360.0 * n) - int((minlon + 180.0) / 360.0 * n) + 1)
+            * (int((maxlat + 90.0) / 180.0 * n) - int((minlat + 90.0) / 180.0 * n) + 1)
+        )
+        if ncells <= max_cells:
+            break
+        use_res -= 1
+    cells = cover_bbox(float(minlon), float(minlat), float(maxlon), float(maxlat), use_res)
+    if len(cells) <= 4:
+        return cells
+
+    # prune cells clearly outside: no corner inside outer ring, no outer
+    # vertex inside cell, and cell does not straddle any edge bbox
+    c_minlon, c_minlat, c_maxlon, c_maxlat = cell_bounds(cells)
+    corners = np.stack(
+        [
+            np.stack([c_minlon, c_minlat], axis=1),
+            np.stack([c_minlon, c_maxlat], axis=1),
+            np.stack([c_maxlon, c_minlat], axis=1),
+            np.stack([c_maxlon, c_maxlat], axis=1),
+        ],
+        axis=1,
+    )  # (C, 4, 2)
+    flat = corners.reshape(-1, 2)
+    corner_inside = points_in_ring(flat, outer).reshape(-1, 4).any(axis=1)
+
+    # vertex-in-cell test (any polygon vertex falls into the cell)
+    vx, vy = outer[:, 0], outer[:, 1]
+    vert_in = (
+        (c_minlon[:, None] <= vx[None, :]) & (vx[None, :] <= c_maxlon[:, None])
+        & (c_minlat[:, None] <= vy[None, :]) & (vy[None, :] <= c_maxlat[:, None])
+    ).any(axis=1)
+
+    # edge-bbox overlap: an edge may cross a cell without endpoints inside
+    ex0 = np.minimum(vx[:-1], vx[1:])
+    ex1 = np.maximum(vx[:-1], vx[1:])
+    ey0 = np.minimum(vy[:-1], vy[1:])
+    ey1 = np.maximum(vy[:-1], vy[1:])
+    edge_overlap = (
+        (c_minlon[:, None] <= ex1[None, :]) & (ex0[None, :] <= c_maxlon[:, None])
+        & (c_minlat[:, None] <= ey1[None, :]) & (ey0[None, :] <= c_maxlat[:, None])
+    ).any(axis=1)
+
+    keep = corner_inside | vert_in | edge_overlap
+    return cells[keep]
+
+
+def compact(cells: np.ndarray) -> np.ndarray:
+    """Merge every complete sibling quartet into its parent, repeatedly —
+    the 'compacted cell cover' of the north star. Input: unique cells at a
+    single resolution; output: mixed-resolution minimal cover."""
+    out: list[np.ndarray] = []
+    current = np.unique(np.asarray(cells, dtype=np.int64))
+    while len(current) and int(cell_res(current[:1])[0]) > 0:
+        parents = cell_parent(current)
+        uniq, counts = np.unique(parents, return_counts=True)
+        full = set(uniq[counts == 4].tolist())
+        promote = np.isin(parents, list(full)) if full else np.zeros(len(current), dtype=bool)
+        out.append(current[~promote])
+        current = uniq[counts == 4]
+        if not len(current):
+            break
+    if len(current):
+        out.append(current)
+    return np.concatenate(out) if out else np.asarray([], dtype=np.int64)
+
+
+def uncompact(cells: np.ndarray, res: int) -> np.ndarray:
+    """Expand a mixed-resolution cover to uniform resolution `res`."""
+    cells = np.asarray(cells, dtype=np.int64)
+    pieces = []
+    for c in cells:
+        r = int(cell_res(np.asarray([c]))[0])
+        cur = np.asarray([c], dtype=np.int64)
+        while r < res:
+            cur = cell_children(cur).ravel()
+            r += 1
+        pieces.append(cur)
+    return np.concatenate(pieces) if pieces else cells

@@ -1,0 +1,430 @@
+"""Vectorized numpy geometry kernels.
+
+Pure-numpy re-implementations of the reference's scalar geometry functions
+(SURVEY.md §2.8 F1-F10), written batch-first: every kernel takes numpy arrays
+of coordinates and computes whole rings / point sets at once, so they can be
+called from Arrow-batched pandas UDFs without per-row Python math.
+
+Numeric contracts (values must match the reference bit-for-bit on floats
+where the evaluation order allows, and to <1e-9 relative otherwise):
+  * distance:        building2osm.py:105-110  (equirectangular, R=6371000.0)
+  * polygon_area:    building2osm.py:120-137  (shoelace on lat-scaled planar
+                     projection, truncated to int; R=6371000.0) and
+                     building_merge.py:134-151 (same formula, R=6371009.0)
+  * polygon_centre:  building2osm.py:143-154  (vertex mean, closing dup dropped)
+  * polygon_centroid: building_merge.py:185-204 (det-weighted)
+  * centroid (hole-aware, offset-stabilised): municipality_split.py:141-182
+  * bearing / bearing_difference / bearing_turn: building2osm.py:160-193
+  * rotate_node:     building2osm.py:200-213
+  * line_distance:   building2osm.py:220-267 (point→segment, cos-lat reprojection)
+  * simplify (RDP):  building2osm.py:274-289
+  * hausdorff:       building_merge.py:226-274 (vertex→segment, both directions)
+  * PIP ray cast:    municipality_split.py:204-243
+  * coordinate_offset: building_merge.py:211-218 (R=6378137)
+
+Rings are (N, 2) float64 arrays of (lon, lat), closed (first == last) unless
+stated otherwise. A polygon is a list of rings (ring 0 outer, rest holes);
+a multipolygon is a list of polygons.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import EARTH_RADIUS, EARTH_RADIUS_MERGE_AREA, EARTH_RADIUS_OFFSET
+
+RAD = np.pi / 180.0
+
+
+# ---------------------------------------------------------------------------
+# distances & bearings
+# ---------------------------------------------------------------------------
+
+def distance(p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """Equirectangular metre distance between paired points.
+
+    p1, p2: (..., 2) arrays of (lon, lat) degrees. Matches
+    building2osm.py:105-110 exactly (mid-latitude cosine, R=6371000.0).
+    """
+    p1 = np.asarray(p1, dtype=np.float64)
+    p2 = np.asarray(p2, dtype=np.float64)
+    lon1, lat1 = p1[..., 0] * RAD, p1[..., 1] * RAD
+    lon2, lat2 = p2[..., 0] * RAD, p2[..., 1] * RAD
+    x = (lon2 - lon1) * np.cos(0.5 * (lat2 + lat1))
+    y = lat2 - lat1
+    return EARTH_RADIUS * np.sqrt(x * x + y * y)
+
+
+def bearing(p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """Forward azimuth in degrees [0, 360). building2osm.py:160-167."""
+    p1 = np.asarray(p1, dtype=np.float64)
+    p2 = np.asarray(p2, dtype=np.float64)
+    lon1, lat1 = p1[..., 0] * RAD, p1[..., 1] * RAD
+    lon2, lat2 = p2[..., 0] * RAD, p2[..., 1] * RAD
+    dlon = lon2 - lon1
+    y = np.sin(dlon) * np.cos(lat2)
+    x = np.cos(lat1) * np.sin(lat2) - np.sin(lat1) * np.cos(lat2) * np.cos(dlon)
+    return (np.degrees(np.arctan2(y, x)) + 360.0) % 360.0
+
+
+def bearing_difference(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+    """Signed bearing delta in (-180, 180]. building2osm.py:174-181."""
+    delta = (np.asarray(b2, dtype=np.float64) - np.asarray(b1, dtype=np.float64) + 360.0) % 360.0
+    return np.where(delta > 180.0, delta - 360.0, delta)
+
+
+def bearing_turn(p1: np.ndarray, p2: np.ndarray, p3: np.ndarray) -> np.ndarray:
+    """Turn angle at p2 travelling p1→p2→p3. building2osm.py:188-193."""
+    return bearing_difference(bearing(p1, p2), bearing(p2, p3))
+
+
+def ring_turns(ring: np.ndarray) -> np.ndarray:
+    """Turn angle at each interior vertex i (1..N-2) of a closed ring.
+
+    Returns (N-2,) array: turns at ring[1], ..., ring[N-2] — the loop range
+    of the curve scan at building2osm.py:810-811.
+    """
+    return bearing_turn(ring[:-2], ring[1:-1], ring[2:])
+
+
+def coordinate_offset(points: np.ndarray, dist_m: float) -> np.ndarray:
+    """Shift (lon, lat) by dist_m metres in both axes. building_merge.py:211-218."""
+    points = np.asarray(points, dtype=np.float64)
+    m = 1.0 / (RAD * EARTH_RADIUS_OFFSET)  # degrees per metre
+    lat = points[..., 1] + dist_m * m
+    lon = points[..., 0] + (dist_m * m) / np.cos(points[..., 1] * RAD)
+    return np.stack([lon, lat], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# areas, centres, centroids
+# ---------------------------------------------------------------------------
+
+def polygon_area(ring: np.ndarray, radius: float = EARTH_RADIUS) -> int:
+    """Signed shoelace area in m² truncated to int (<0 clockwise).
+
+    building2osm.py:120-137 (radius 6371000.0); pass
+    EARTH_RADIUS_MERGE_AREA for the building_merge.py:134-151 variant
+    (6371009.0). Returns 0 for an unclosed ring, like the reference.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) == 0 or not np.array_equal(ring[0], ring[-1]):
+        return 0
+    lat_dist = np.pi * radius / 180.0
+    y = ring[:, 1] * lat_dist
+    x = ring[:, 0] * lat_dist * np.cos(ring[:, 1] * RAD)
+    # sum of (x[i+1]-x[i]) * (y[i+1]+y[i]), matching the reference's loop order
+    area = float(np.sum((x[1:] - x[:-1]) * (y[1:] + y[:-1])))
+    return int(area / 2.0)
+
+
+def polygon_area_merge(ring: np.ndarray) -> int:
+    """Merge-pipeline area variant (R=6371009.0, building_merge.py:137)."""
+    return polygon_area(ring, radius=EARTH_RADIUS_MERGE_AREA)
+
+
+def polygon_centre(ring: np.ndarray) -> tuple[float, float]:
+    """Vertex-average centre, closing duplicate excluded. building2osm.py:143-154."""
+    ring = np.asarray(ring, dtype=np.float64)
+    n = len(ring)
+    if n == 0:
+        raise ValueError("empty ring")
+    if n == 1:
+        return float(ring[0, 0]), float(ring[0, 1])
+    if np.array_equal(ring[0], ring[-1]):
+        n -= 1
+    body = ring[:n]
+    return float(body[:, 0].sum() / n), float(body[:, 1].sum() / n)
+
+
+def polygon_centroid(ring: np.ndarray) -> tuple[float, float] | None:
+    """Determinant-weighted centroid. building_merge.py:185-204.
+
+    Returns None for an unclosed ring, like the reference.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(ring[0], ring[-1]):
+        return None
+    xi, yi = ring[:-1, 0], ring[:-1, 1]
+    xj, yj = ring[1:, 0], ring[1:, 1]
+    d = xi * yj - xj * yi
+    det = float(d.sum())
+    cx = float(((xi + xj) * d).sum()) / (3.0 * det)
+    cy = float(((yi + yj) * d).sum()) / (3.0 * det)
+    return cx, cy
+
+
+def centroid_area_ring(ring: np.ndarray) -> tuple[tuple[float, float], float]:
+    """(centroid, |area|) of one ring with first-vertex offset stabilisation.
+
+    municipality_split.py:141-166 — the offset subtraction matters for
+    numerical agreement at 7-decimal coordinates.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(ring[0], ring[-1]):
+        raise ValueError("linear ring not closed")
+    dx, dy = float(ring[0, 0]), float(ring[0, 1])
+    x = ring[:, 0] - dx
+    y = ring[:, 1] - dy
+    xi, yi, xj, yj = x[:-1], y[:-1], x[1:], y[1:]
+    d = xi * yj - xj * yi
+    det = float(d.sum())
+    area = det / 2.0
+    f = 6.0 * area
+    cx = float(((xi + xj) * d).sum()) / f + dx
+    cy = float(((yi + yj) * d).sum()) / f + dy
+    return (cx, cy), abs(area)
+
+
+def centroid_polygon(polygon: list[np.ndarray]) -> tuple[float, float]:
+    """Hole-aware mass centroid of a polygon. municipality_split.py:169-182.
+
+    NOTE the reference subtracts the *outer* centroid weighted by each hole's
+    area (municipality_split.py:176-180) — a quirk preserved verbatim.
+    """
+    (cx0, cy0), outer_area = centroid_area_ring(polygon[0])
+    if len(polygon) > 1:
+        cx = cx0 * outer_area
+        cy = cy0 * outer_area
+        area_sum = outer_area
+        for inner in polygon[1:]:
+            _, inner_area = centroid_area_ring(inner)
+            cx -= cx0 * inner_area
+            cy -= cy0 * inner_area
+            area_sum -= inner_area
+        return cx / area_sum, cy / area_sum
+    return cx0, cy0
+
+
+# ---------------------------------------------------------------------------
+# rotation
+# ---------------------------------------------------------------------------
+
+def rotate_nodes(axis: tuple[float, float], angle_deg: float, points: np.ndarray) -> np.ndarray:
+    """Rotate points around axis with cos(lat) x-scaling. building2osm.py:200-213."""
+    points = np.asarray(points, dtype=np.float64)
+    r = angle_deg * RAD
+    cos_axis = np.cos(axis[1] * RAD)
+    tr_x = (points[..., 0] - axis[0]) * cos_axis
+    tr_y = points[..., 1] - axis[1]
+    cr, sr = np.cos(r), np.sin(r)
+    xrot = tr_x * cr - tr_y * sr
+    yrot = tr_x * sr + tr_y * cr
+    return np.stack([xrot / cos_axis + axis[0], yrot + axis[1]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# point ↔ segment distances, Hausdorff
+# ---------------------------------------------------------------------------
+
+def _project_cos(points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """radians + per-point cos(lat) x-scaling used by line_distance
+    (building2osm.py:222-227): x_scaled = radians(lon) * cos(radians(lat))."""
+    p = np.asarray(points, dtype=np.float64) * RAD
+    y = p[..., 1]
+    x = p[..., 0] * np.cos(y)
+    return x, y
+
+
+def line_distance_matrix(points: np.ndarray, seg_a: np.ndarray, seg_b: np.ndarray) -> np.ndarray:
+    """Metre distances from each point to each segment: (N, M) matrix.
+
+    Vectorized form of building2osm.py:220-267 / building_merge.py:78-125.
+    points: (N,2); seg_a, seg_b: (M,2) segment endpoints.
+    """
+    x3, y3 = _project_cos(points)          # (N,)
+    x1, y1 = _project_cos(seg_a)           # (M,)
+    x2, y2 = _project_cos(seg_b)
+    dx = x2 - x1                           # (M,)
+    dy = y2 - y1
+    len_sq = dx * dx + dy * dy
+    # dot[(n,m)] = (p_n - a_m) · d_m
+    ax = x3[:, None] - x1[None, :]
+    ay = y3[:, None] - y1[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        param = (ax * dx[None, :] + ay * dy[None, :]) / len_sq[None, :]
+    param = np.where(len_sq[None, :] == 0.0, -1.0, param)
+    t = np.clip(param, 0.0, 1.0)
+    x4 = x1[None, :] + t * dx[None, :]
+    y4 = y1[None, :] + t * dy[None, :]
+    ddx = x4 - x3[:, None]
+    ddy = y4 - y3[:, None]
+    return EARTH_RADIUS * np.sqrt(ddx * ddx + ddy * ddy)
+
+
+def line_distance(s1, s2, p3) -> float:
+    """Scalar point→segment distance (reference signature)."""
+    return float(
+        line_distance_matrix(
+            np.asarray(p3, dtype=np.float64)[None, :],
+            np.asarray(s1, dtype=np.float64)[None, :],
+            np.asarray(s2, dtype=np.float64)[None, :],
+        )[0, 0]
+    )
+
+
+def hausdorff_distance(p1: np.ndarray, p2: np.ndarray) -> float:
+    """Symmetric Hausdorff between closed rings, vertex→segment metric.
+
+    Equals building_merge.py:226-274: directed max-min over the first N-1
+    vertices of each ring against all segments of the other; the reference's
+    early-break (Taha–Hanbury) is a CPU shortcut that returns the same value
+    as the full matrix max-min computed here.
+    """
+    p1 = np.asarray(p1, dtype=np.float64)
+    p2 = np.asarray(p2, dtype=np.float64)
+    if len(p1) < 2 or len(p2) < 2:
+        return 0.0
+    d12 = line_distance_matrix(p1[:-1], p2[:-1], p2[1:])  # p1 verts × p2 segs
+    d21 = line_distance_matrix(p2[:-1], p1[:-1], p1[1:])
+    return float(max(d12.min(axis=1).max(), d21.min(axis=1).max()))
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (ray cast)
+# ---------------------------------------------------------------------------
+
+def points_in_ring(points: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ray cast: (N,) bool for points against one closed ring.
+
+    Matches municipality_split.py:204-221 — strict '>' on lat straddle and
+    strict '<' on the crossing abscissa, no epsilon.
+    """
+    points = np.asarray(points, dtype=np.float64)
+    ring = np.asarray(ring, dtype=np.float64)
+    px = points[:, 0][:, None]             # (N,1)
+    py = points[:, 1][:, None]
+    xi, yi = ring[:-1, 0][None, :], ring[:-1, 1][None, :]   # (1,M)
+    xj, yj = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    straddle = (yi > py) != (yj > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_cross = (xj - xi) * (py - yi) / (yj - yi) + xi
+    hit = straddle & (px < x_cross)
+    return (hit.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_polygon(points: np.ndarray, polygon: list[np.ndarray]) -> np.ndarray:
+    """Hole-aware PIP for many points vs one polygon. municipality_split.py:224-234.
+
+    The bbox prefilter of the reference is subsumed: callers prefilter via
+    the cell index; this kernel is exact. Reference semantics: inside outer
+    ring AND not inside any hole.
+    """
+    inside = points_in_ring(points, polygon[0])
+    for hole in polygon[1:]:
+        if inside.any():
+            inside &= ~points_in_ring(points, hole)
+    return inside
+
+
+def points_in_multipolygon(points: np.ndarray, multipolygon: list[list[np.ndarray]]) -> np.ndarray:
+    """Any-polygon PIP. municipality_split.py:237-243."""
+    points = np.asarray(points, dtype=np.float64)
+    inside = np.zeros(len(points), dtype=bool)
+    for polygon in multipolygon:
+        todo = ~inside
+        if not todo.any():
+            break
+        inside[todo] = points_in_polygon(points[todo], polygon)
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# bbox predicates — THREE distinct inequality conventions (SURVEY.md P5)
+# ---------------------------------------------------------------------------
+
+def bbox_of_ring(ring: np.ndarray) -> tuple[float, float, float, float]:
+    """(minlon, minlat, maxlon, maxlat)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    return (
+        float(ring[:, 0].min()), float(ring[:, 1].min()),
+        float(ring[:, 0].max()), float(ring[:, 1].max()),
+    )
+
+
+def in_bbox_closed(points: np.ndarray, bbox) -> np.ndarray:
+    """min <= p <= max — municipality_split.py:185-187."""
+    p = np.asarray(points, dtype=np.float64)
+    minlon, minlat, maxlon, maxlat = bbox
+    return (
+        (minlat <= p[:, 1]) & (p[:, 1] <= maxlat)
+        & (minlon <= p[:, 0]) & (p[:, 0] <= maxlon)
+    )
+
+
+def in_bbox_strict(points: np.ndarray, bbox) -> np.ndarray:
+    """min < p < max — building_merge.py:630-632,699-701."""
+    p = np.asarray(points, dtype=np.float64)
+    minlon, minlat, maxlon, maxlat = bbox
+    return (
+        (minlat < p[:, 1]) & (p[:, 1] < maxlat)
+        & (minlon < p[:, 0]) & (p[:, 0] < maxlon)
+    )
+
+
+def in_bbox_half_open(points: np.ndarray, bbox) -> np.ndarray:
+    """min <= p < max — building2osm.py:476-485."""
+    p = np.asarray(points, dtype=np.float64)
+    minlon, minlat, maxlon, maxlat = bbox
+    return (
+        (minlat <= p[:, 1]) & (p[:, 1] < maxlat)
+        & (minlon <= p[:, 0]) & (p[:, 0] < maxlon)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ramer-Douglas-Peucker simplification
+# ---------------------------------------------------------------------------
+
+def simplify_ring(ring: np.ndarray, epsilon: float) -> np.ndarray:
+    """RDP node reduction, stack form of building2osm.py:274-289.
+
+    Identical split choice: farthest vertex strictly greater than running
+    max ('>' with dmax starting 0.0), recurse when dmax >= epsilon; keeps
+    the same vertex set as the reference's recursive version.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    n = len(ring)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        interior = ring[lo + 1 : hi]
+        d = line_distance_matrix(interior, ring[lo][None, :], ring[hi][None, :])[:, 0]
+        idx = int(np.argmax(d))            # first max, matching '>' scan
+        dmax = float(d[idx])
+        if dmax >= epsilon:
+            mid = lo + 1 + idx
+            keep[mid] = True
+            stack.append((lo, mid))
+            stack.append((mid, hi))
+    return ring[keep]
+
+
+# ---------------------------------------------------------------------------
+# misc parse helpers (F12)
+# ---------------------------------------------------------------------------
+
+def dedupe_consecutive(coords: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicates and A,B,A backtracks. building2osm.py:296-315.
+
+    Sequential semantics (the backtrack pop can cascade), so implemented as
+    a tight loop over the (already small) vertex array.
+    """
+    out: list[tuple[float, float]] = []
+    last1: tuple[float, float] | None = None
+    last2: tuple[float, float] | None = None
+    for lon, lat in np.asarray(coords, dtype=np.float64):
+        node = (float(lon), float(lat))
+        if node != last1:
+            if node == last2:
+                out.pop()
+                last1 = last2
+            else:
+                out.append(node)
+        last2 = last1
+        last1 = node
+    return np.asarray(out, dtype=np.float64).reshape(-1, 2)

@@ -1,0 +1,43 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Tuned for correctness tests on local[N] while keeping every knob meaningful
+on a real multi-executor cluster: AQE with skew-join splitting on (the
+engine's hot-cell handling relies on it as a second line of defence behind
+explicit cell salting), Arrow enabled for the pandas-UDF kernels, shuffle
+partitions sized to cores locally (a cluster deployment overrides via
+spark-submit --conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH = 4096  # geometries per Arrow batch into numpy kernels
+
+
+def get_spark(app: str = "building2osm_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores) * 2, 8) if isinstance(cores, int) else 32
+    master = f"local[{cores}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
