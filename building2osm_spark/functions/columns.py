@@ -1,0 +1,127 @@
+"""Native Spark Column expressions (JVM-side, whole-stage-codegen friendly).
+
+Everything here compiles to Catalyst expressions — no Python execution at
+runtime. These are the engine's hot-path primitives: cell ids for spatial
+join keys, equirectangular distance, bbox offsets, and the reference's
+scalar string/tag functions (SURVEY.md §2.8 F1, F10, F13-F19).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..constants import EARTH_RADIUS, EARTH_RADIUS_OFFSET
+
+_RES_SHIFT = 54
+_IX_SHIFT = 27
+
+
+def cell_id_col(lon: Column, lat: Column, res: int) -> Column:
+    """int64 cell id at resolution `res` — same scheme as cells.cell_id,
+    expressed as pure Catalyst arithmetic so point-side cell assignment
+    never leaves the JVM."""
+    n = F.lit(1 << res).cast("long")
+    ix = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n), F.lit(0)), n - 1)
+    iy = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n), F.lit(0)), n - 1)
+    return (
+        F.shiftleft(F.lit(res).cast("long"), _RES_SHIFT)
+        .bitwiseOR(F.shiftleft(ix.cast("long"), _IX_SHIFT))
+        .bitwiseOR(iy.cast("long"))
+    )
+
+
+def distance_m_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Equirectangular metre distance — native form of building2osm.py:105-110."""
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    x = (rlon2 - rlon1) * F.cos((rlat1 + rlat2) * F.lit(0.5))
+    y = rlat2 - rlat1
+    return F.lit(EARTH_RADIUS) * F.sqrt(x * x + y * y)
+
+
+def coordinate_offset_cols(lon: Column, lat: Column, dist_m: float) -> tuple[Column, Column]:
+    """(lon, lat) shifted by dist_m metres — building_merge.py:211-218."""
+    m = F.lit(dist_m / ((3.141592653589793 / 180.0) * EARTH_RADIUS_OFFSET))
+    new_lat = lat + m
+    new_lon = lon + m / F.cos(F.radians(lat))
+    return new_lon, new_lat
+
+
+# --- reference scalar string functions -------------------------------------
+
+def fix_url_col(col: Column) -> Column:
+    """Norwegian transliteration + space→_ — building2osm.py:321-323."""
+    return F.regexp_replace(
+        F.translate(col, "ÆØÅæøå", "EOAeoa"), " ", "_"
+    )
+
+
+def format_decimal_col(col: Column) -> Column:
+    """'%.1f' then strip trailing 0 and '.' — building2osm.py:92-98.
+    NULL/0 → empty string, like the reference's falsy check."""
+    txt = F.format_number(col.cast("double"), 1)
+    stripped = F.regexp_replace(F.regexp_replace(txt, r"0$", ""), r"\.$", "")
+    return F.when(col.isNull() | (col.cast("double") == 0.0), F.lit("")).otherwise(stripped)
+
+
+def parse_ref_col(col: Column) -> Column:
+    """';'-multi-value ref → array of distinct non-empty ints —
+    filter_buildings.py:8-9."""
+    parts = F.split(col, ";")
+    nonempty = F.filter(parts, lambda x: (x != "") & x.isNotNull())
+    return F.array_distinct(F.transform(nonempty, lambda x: x.cast("long")))
+
+
+def level_code_cols(col: Column) -> tuple[Column, Column]:
+    """'H0203' → (type 'H', number 2) — building2osm.py:746-749."""
+    return F.substring(col, 1, 1), F.substring(col, 2, 2).cast("int")
+
+
+def date_trunc10_col(col: Column) -> Column:
+    """'YYYY-MM-DD...' prefix slice — building2osm.py:651-653."""
+    return F.substring(col, 1, 10)
+
+
+def round7(col: Column) -> Column:
+    """Output rounding to 7 decimals — building2osm.py:36,621,1226."""
+    return F.round(col, 7)
+
+
+def tagged_flag_col(tags: Column) -> Column:
+    """True when any tag key is beyond building/source/addr:* —
+    building_merge.py:444-448."""
+    return F.exists(
+        F.map_keys(tags),
+        lambda k: (k != "building") & (k != "source") & ~k.contains("addr:"),
+    )
+
+
+def building_retag_cadastral_col(building: Column, area: Column) -> Column:
+    """Size-based retag, cadastral pipeline (P4) — building2osm.py:539-554.
+    Exact elif-chain order: garages > shed > farm_auxiliary > cabin."""
+    return (
+        F.when((building == "garage") & (area > 100), F.lit("garages"))
+        .when(building.isin("garage", "barn") & (area < 15), F.lit("shed"))
+        .when((building == "barn") & (area < 100), F.lit("farm_auxiliary"))
+        .when((building == "hotel") & (area < 100), F.lit("cabin"))
+        .otherwise(building)
+    )
+
+
+def building_retag_merge_col(building: Column, area: Column, type_tag: Column) -> Column:
+    """Import-side retag fixes — building_merge.py:363-377. Sequential-if
+    semantics: the TYPE-based rewrite applies first, then size rules on the
+    (possibly rewritten) value; rules are mutually exclusive after that."""
+    b1 = (
+        F.when(type_tag.contains("#672 ") | type_tag.contains("#673 "), F.lit("religious"))
+        .when(type_tag.contains("#199 "), F.lit("residential"))
+        .otherwise(building)
+    )
+    return (
+        F.when(b1 == "barracks", F.lit("container"))
+        .when((b1 == "hotel") & (area < 100), F.lit("cabin"))
+        .when(b1.isin("garage", "barn") & (area < 15), F.lit("shed"))
+        .when((b1 == "barn") & (area < 100), F.lit("farm_auxiliary"))
+        .otherwise(b1)
+    )

@@ -1,0 +1,340 @@
+"""Deterministic synthetic fixtures (FIXTURES.md) — no network, no files.
+
+All generators are pure functions of (n, seed): re-generation is exactly
+reproducible anywhere. The `images` table has exactly the BASELINE.json
+input_hint shape: (image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash bigint); its location is DERIVED from image_id via a
+stable FNV-1a hash (the table is 'keyed by location' without carrying
+lon/lat), with an optional hot-cell fraction to reproduce Oslo-style skew.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+# fixture municipality bbox (Oslo-ish)
+BBOX = (10.60, 59.85, 11.00, 60.05)  # minlon, minlat, maxlon, maxlat
+HOT_CENTER = (10.75, 59.91)          # the 'Oslo hot cell'
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a64(s: str) -> np.uint64:
+    """Stable 64-bit hash over a UTF-8 string (no interpreter hash salt):
+    FNV-1a core + splitmix64 avalanche finalizer (raw FNV-1a of sequential
+    ids is nearly sequential — the finalizer restores uniformity)."""
+    h = int(_FNV_OFFSET)
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 31
+    return np.uint64(h)
+
+
+def image_location(image_id: str, hot_frac: float = 0.0) -> tuple[float, float]:
+    """loc(image_id) per FIXTURES.md §1: uniform in BBOX from the id hash;
+    with probability hot_frac the point lands in a ~500 m hot spot instead."""
+    h = int(fnv1a64(image_id))
+    u1 = ((h >> 0) & 0xFFFFFFFF) / 2**32
+    u2 = ((h >> 32) & 0xFFFFFFFF) / 2**32
+    u3 = ((h * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF) >> 40) / 2**24
+    minlon, minlat, maxlon, maxlat = BBOX
+    if u3 < hot_frac:
+        return (
+            HOT_CENTER[0] + (u1 - 0.5) * 0.008,
+            HOT_CENTER[1] + (u2 - 0.5) * 0.004,
+        )
+    return (minlon + u1 * (maxlon - minlon), minlat + u2 * (maxlat - minlat))
+
+
+# ---------------------------------------------------------------------------
+# image payload codecs (numpy only — PIL is absent in the sandbox)
+# ---------------------------------------------------------------------------
+
+def _pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB uint8 pixel block from the id hash."""
+    seed = int(fnv1a64(image_id)) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # superimpose a gradient so images aren't pure noise (resize tests)
+    gy = np.linspace(0, 64, h, dtype=np.float64)[:, None, None]
+    gx = np.linspace(0, 64, w, dtype=np.float64)[None, :, None]
+    return ((base.astype(np.float64) * 0.75) + gy * 0.5 + gx * 0.5).astype(np.uint8)
+
+
+def encode_raw(pix: np.ndarray) -> bytes:
+    """fmt='raw': h*w*3 RGB bytes, row-major."""
+    return pix.astype(np.uint8).tobytes()
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_qraw(pix: np.ndarray) -> bytes:
+    """fmt='qraw': 6-bit-quantized raw (lossy; PSNR ≈ 47 dB ≥ 40 dB)."""
+    q = (pix.astype(np.uint16) >> 2).astype(np.uint8)
+    return q.tobytes()
+
+
+def decode_qraw(data: bytes, w: int, h: int) -> np.ndarray:
+    q = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).astype(np.uint16)
+    return np.clip(q * 4 + 2, 0, 255).astype(np.uint8)
+
+
+def encode_bmp(pix: np.ndarray) -> bytes:
+    """Uncompressed BMP24 (BITMAPINFOHEADER, bottom-up, BGR, 4-byte rows)."""
+    h, w, _ = pix.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    bgr = pix[:, :, ::-1]
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):
+        rows += bgr[y].tobytes() + pad
+    return header + info + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w = struct.unpack_from("<i", data, 18)[0]
+    h = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    assert bpp == 24, f"only BMP24 supported, got {bpp}"
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(data, dtype=np.uint8, count=w * 3, offset=offset + y * row_size)
+        out[h - 1 - y] = row.reshape(w, 3)[:, ::-1]
+    return out
+
+
+def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(data, w, h)
+    if fmt == "qraw":
+        return decode_qraw(data, w, h)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    raise NotImplementedError(
+        f"format {fmt!r}: real codecs (jpeg/png/webp) need image libraries "
+        "not present in this sandbox; plug a decoder into decode_image"
+    )
+
+
+def average_phash(pix: np.ndarray) -> int:
+    """8×8 average-hash of the grayscale image → int64 (FIXTURES.md §1)."""
+    gray = pix.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    blocks = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        val |= np.uint64(b) << np.uint64(63 - i)
+    return int(val.astype(np.int64))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+_CAPTION_TYPES = [
+    "house", "garage", "barn", "cabin", "office", "retail", "industrial",
+    "school", "hospital", "church", "warehouse", "shed",
+]
+
+
+def images_pdf(n: int, hot_frac: float = 0.0, with_loc: bool = False) -> pd.DataFrame:
+    """The images table (BASELINE.json input_hint shape), n rows.
+
+    fmt cycles raw/bmp/qraw; sizes from {16,32,64}; caption is a
+    deterministic template over the building-type vocabulary; phash is the
+    average-hash of the DECODED pixels (so phash is re-derivable from bytes).
+    """
+    rows = []
+    sizes = (16, 32, 64)
+    fmts = ("raw", "bmp", "qraw")
+    for i in range(n):
+        image_id = f"img_{i:012d}"
+        h64 = int(fnv1a64(image_id))
+        w = sizes[h64 % 3]
+        hgt = sizes[(h64 >> 8) % 3]
+        fmt = fmts[(h64 >> 16) % 3]
+        pix = _pixels_for(image_id, w, hgt)
+        if fmt == "raw":
+            data = encode_raw(pix)
+        elif fmt == "bmp":
+            data = encode_bmp(pix)
+        else:
+            data = encode_qraw(pix)
+        decoded = decode_image(data, fmt, w, hgt)
+        caption = (
+            f"a photo of a {_CAPTION_TYPES[h64 % len(_CAPTION_TYPES)]} "
+            f"near oslo #{i % 97}"
+        )
+        row = {
+            "image_id": image_id,
+            "bytes": data,
+            "w": np.int32(w),
+            "h": np.int32(hgt),
+            "fmt": fmt,
+            "caption": caption,
+            "phash": np.int64(average_phash(decoded)),
+        }
+        if with_loc:
+            lon, lat = image_location(image_id, hot_frac)
+            row["lon"], row["lat"] = lon, lat
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# footprints & subdivisions
+# ---------------------------------------------------------------------------
+
+def _rect_ring(cx: float, cy: float, w_m: float, h_m: float, angle_deg: float = 0.0,
+               jitter_m: float = 0.0, rng: np.random.Generator | None = None) -> list:
+    """Closed rectangle ring around (cx, cy), metres → degrees at cy."""
+    dlat = 1.0 / 111320.0
+    dlon = dlat / np.cos(np.radians(cy))
+    corners = np.array(
+        [[-w_m / 2, -h_m / 2], [w_m / 2, -h_m / 2], [w_m / 2, h_m / 2],
+         [-w_m / 2, h_m / 2]]
+    )
+    if jitter_m and rng is not None:
+        corners = corners + rng.uniform(-jitter_m, jitter_m, corners.shape)
+    a = np.radians(angle_deg)
+    rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+    corners = corners @ rot.T
+    ring = np.stack([cx + corners[:, 0] * dlon, cy + corners[:, 1] * dlat], axis=1)
+    ring = np.round(np.vstack([ring, ring[:1]]), 7)
+    return ring.tolist()
+
+
+def buildings_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Synthetic footprints (FIXTURES.md §2): rotated rectangles with jitter
+    below/above rectify thresholds, plus L-shapes, in the fixture bbox."""
+    rng = np.random.default_rng(seed)
+    minlon, minlat, maxlon, maxlat = BBOX
+    statuses = ["RA", "IG", "MB", "FA", "TB", "MT", "MF", "GR", "IP", "FS"]
+    types = ["111", "112", "113", "121", "142", "181", "231", "241", "311", "412"]
+    rows = []
+    for i in range(n):
+        cx = rng.uniform(minlon + 0.01, maxlon - 0.01)
+        cy = rng.uniform(minlat + 0.005, maxlat - 0.005)
+        kind = i % 4
+        if kind < 3:  # rectangle (some jittered)
+            jitter = 0.0 if kind == 0 else (0.05 if kind == 1 else 0.5)
+            ring = _rect_ring(
+                cx, cy, rng.uniform(6, 30), rng.uniform(6, 30),
+                angle_deg=float(rng.uniform(0, 180)), jitter_m=jitter, rng=rng,
+            )
+            geometry = [ring]
+        else:  # L-shape
+            w_m, h_m = rng.uniform(10, 30), rng.uniform(10, 30)
+            dlat = 1.0 / 111320.0
+            dlon = dlat / np.cos(np.radians(cy))
+            pts = np.array(
+                [[0, 0], [w_m, 0], [w_m, h_m / 2], [w_m / 2, h_m / 2],
+                 [w_m / 2, h_m], [0, h_m], [0, 0]], dtype=np.float64
+            )
+            ring = np.round(
+                np.stack([cx + pts[:, 0] * dlon, cy + pts[:, 1] * dlat], axis=1), 7
+            )
+            geometry = [ring.tolist()]
+        rows.append(
+            {
+                "ref": str(10000000 + i),
+                "geometry": geometry,
+                "geom_type": "Polygon",
+                "building_type": types[int(rng.integers(0, len(types)))],
+                "status": statuses[int(rng.integers(0, len(statuses)))],
+                "date": f"20{rng.integers(10, 24):02d}-{rng.integers(1, 13):02d}-{rng.integers(1, 29):02d}",
+                "heritage": bool(rng.random() < 0.05),
+                "sefrak": (
+                    f"{rng.integers(1000, 9999)}-{rng.integers(1, 99):04d}-{rng.integers(1, 99)}"
+                    if rng.random() < 0.1 else None
+                ),
+                "municipality": "0301",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def subdivisions_pdf(nx: int = 4, ny: int = 4) -> pd.DataFrame:
+    """Grid of adjacent districts tiling the fixture bbox (FIXTURES.md §5);
+    district (1,1) carries a hole, district (0,0) is a 2-part MultiPolygon
+    carved out of its own rectangle."""
+    minlon, minlat, maxlon, maxlat = BBOX
+    dx = (maxlon - minlon) / nx
+    dy = (maxlat - minlat) / ny
+    rows = []
+    for ix in range(nx):
+        for iy in range(ny):
+            x0, x1 = minlon + ix * dx, minlon + (ix + 1) * dx
+            y0, y1 = minlat + iy * dy, minlat + (iy + 1) * dy
+            outer = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+            name = f"{ix}{iy:02d} District"
+            if ix == 1 and iy == 1:
+                hx0, hx1 = x0 + dx * 0.4, x0 + dx * 0.6
+                hy0, hy1 = y0 + dy * 0.4, y0 + dy * 0.6
+                hole = [[hx0, hy0], [hx1, hy0], [hx1, hy1], [hx0, hy1], [hx0, hy0]]
+                geometry = [[outer, hole]]
+            elif ix == 0 and iy == 0:
+                xm = (x0 + x1) / 2
+                left = [[x0, y0], [xm, y0], [xm, y1], [x0, y1], [x0, y0]]
+                right = [[xm, y0], [x1, y0], [x1, y1], [xm, y1], [xm, y0]]
+                geometry = [[left], [right]]
+            else:
+                geometry = [[outer]]
+            rows.append(
+                {
+                    "name": name,
+                    "kind": "bydel",
+                    "geometry": geometry,
+                    "municipality": "0301",
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+GEOMETRY_POLYGON_T = "array<array<array<double>>>"
+GEOMETRY_MULTIPOLYGON_T = "array<array<array<array<double>>>>"
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
+IMAGES_LOC_SCHEMA = IMAGES_SCHEMA + ", lon double, lat double"
+BUILDINGS_SCHEMA = (
+    f"ref string, geometry {GEOMETRY_POLYGON_T}, geom_type string, building_type string, "
+    "status string, date string, heritage boolean, sefrak string, municipality string"
+)
+SUBDIVISIONS_SCHEMA = (
+    f"name string, kind string, geometry {GEOMETRY_MULTIPOLYGON_T}, municipality string"
+)
+
+
+def spark_images(spark, n: int, hot_frac: float = 0.0, with_loc: bool = False):
+    pdf = images_pdf(n, hot_frac, with_loc)
+    schema = IMAGES_LOC_SCHEMA if with_loc else IMAGES_SCHEMA
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def spark_buildings(spark, n: int, seed: int = 42):
+    return spark.createDataFrame(buildings_pdf(n, seed), schema=BUILDINGS_SCHEMA)
+
+
+def spark_subdivisions(spark, nx: int = 4, ny: int = 4):
+    return spark.createDataFrame(subdivisions_pdf(nx, ny), schema=SUBDIVISIONS_SCHEMA)
