@@ -1,0 +1,142 @@
+"""kNN nearest-target join (SURVEY.md J12) — 100% native Catalyst plan.
+
+The north star adds kNN nearest-building lookup for points that fail the
+PIP assignment; the reference's only nearest-neighbour primitive is the
+argmin-Hausdorff scan (building_merge.py:680-713). Here:
+
+  round i: join points against targets on a 3×3 cell block at resolution
+  (res − 2i) — i.e. each escalation QUADRUPLES the search radius at a
+  CONSTANT 9-cells-per-point fan-out (coarsening beats exploding ever
+  bigger k-rings), then keep candidates' top-k by equirectangular distance
+  (window). A point is resolved when it has k candidates AND its kth
+  distance is within the ring's guaranteed coverage radius (otherwise a
+  closer target could hide outside the searched block — the classic grid
+  kNN pitfall). Unresolved points escalate; a final pass broadcasts the
+  (tiny) remainder against the full target table.
+
+Everything is Catalyst expressions: cell arithmetic, distance, windows —
+no Python in the plan. Shuffle volume per round ≈ candidate pairs, not
+points × targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..constants import DEFAULT_CELL_RES, EARTH_RADIUS
+from ..functions.columns import cell_id_col, distance_m_col
+
+_M_PER_DEG = 3.141592653589793 * EARTH_RADIUS / 180.0  # equirect metre/degree
+
+
+def _neighbors9(lon, lat, res: int):
+    """Array of the 9 cell ids of the 3×3 block around (lon, lat) at res —
+    native arithmetic on the cell grid indices."""
+    n = F.lit(1 << res).cast("long")
+    ix = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n), F.lit(0)), n - 1)
+    iy = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n), F.lit(0)), n - 1)
+    cells = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            jx = F.least(F.greatest(ix + dx, F.lit(0)), n - 1)
+            jy = F.least(F.greatest(iy + dy, F.lit(0)), n - 1)
+            cells.append(
+                F.shiftleft(F.lit(res).cast("long"), 54)
+                .bitwiseOR(F.shiftleft(jx.cast("long"), 27))
+                .bitwiseOR(jy.cast("long"))
+            )
+    return F.array_distinct(F.array(*cells))
+
+
+def _coverage_radius_m(lat, res: int):
+    """Guaranteed search radius of the 3×3 block at res: one full cell
+    dimension in metres, whichever axis is smaller at this latitude."""
+    cell_h_m = F.lit((180.0 / (1 << res)) * _M_PER_DEG)
+    cell_w_m = F.lit((360.0 / (1 << res)) * _M_PER_DEG) * F.cos(F.radians(lat))
+    return F.least(cell_h_m, cell_w_m) * F.lit(0.999)
+
+
+def knn_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    *,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    target_id: str = "target_id",
+    target_lon: str = "t_lon",
+    target_lat: str = "t_lat",
+    res: int = DEFAULT_CELL_RES,
+    rounds: int = 4,
+) -> DataFrame:
+    """(point columns…, target_id, dist_m, knn_rank) — exact k nearest
+    targets per point under the reference's equirectangular metric
+    (building2osm.py:105-110), deterministic ties by target_id."""
+    tgt = targets.select(
+        F.col(target_id), F.col(target_lon), F.col(target_lat)
+    )
+
+    remaining = points.select(point_id, lon, lat)
+    resolved_parts: list[DataFrame] = []
+
+    for i in range(rounds):
+        join_res = max(res - 2 * i, 4)
+        cand = (
+            remaining.withColumn(
+                "__pcells", _neighbors9(F.col(lon), F.col(lat), join_res)
+            )
+            .select(point_id, lon, lat, F.explode("__pcells").alias("__cell"))
+            .join(
+                tgt.withColumn(
+                    "__cell", cell_id_col(F.col(target_lon), F.col(target_lat), join_res)
+                ),
+                "__cell",
+            )
+            .withColumn(
+                "dist_m",
+                distance_m_col(F.col(lon), F.col(lat), F.col(target_lon), F.col(target_lat)),
+            )
+        )
+        w = Window.partitionBy(point_id).orderBy(F.col("dist_m"), F.col(target_id))
+        topk = (
+            cand.withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k)
+            .drop("__cell", target_lon, target_lat)
+        )
+        stats = topk.groupBy(point_id).agg(
+            F.count("*").alias("__cnt"), F.max("dist_m").alias("__kth")
+        )
+        guar = _coverage_radius_m(F.col(lat), join_res)
+        judged = remaining.join(stats, point_id, "left").withColumn(
+            "__ok", (F.col("__cnt") == k) & (F.col("__kth") <= guar)
+        )
+        done_ids = judged.filter(F.col("__ok")).select(point_id)
+        resolved_parts.append(topk.join(done_ids, point_id, "left_semi"))
+        remaining = judged.filter(
+            F.col("__ok").isNull() | ~F.col("__ok")
+        ).select(point_id, lon, lat)
+        if join_res == 4:
+            break
+
+    # stragglers: broadcast the tiny remainder against the full target scan
+    w = Window.partitionBy(point_id).orderBy(F.col("dist_m"), F.col(target_id))
+    last = (
+        F.broadcast(remaining)
+        .join(tgt)
+        .withColumn(
+            "dist_m",
+            distance_m_col(F.col(lon), F.col(lat), F.col(target_lon), F.col(target_lat)),
+        )
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .drop(target_lon, target_lat)
+    )
+    resolved_parts.append(last)
+
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out
