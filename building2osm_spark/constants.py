@@ -46,9 +46,10 @@ STATUS_CODES = {
 # --- similar-building categories for tag-merge conflict suppression
 # (building_merge.py:34-38) ---
 SIMILAR_BUILDINGS = {
-    "residential": ["house", "detached", "residential", "cabin", "semidetached_house", "farm"],
-    "commercial": ["industrial", "retail", "commercial", "warehouse", "office"],
-    "farm": ["barn", "farm_auxiliary", "shed", "greenhouse"],
+    "residential": ["house", "detached", "semidetached_house", "terrace", "farm",
+                    "apartments", "residential", "cabin", "hut", "bungalow"],
+    "commercial": ["retail", "commercial", "warehouse", "industrial", "office"],
+    "farm": ["barn", "farm_auxiliary", "shed", "cabin"],
 }
 
 # --- engine-side defaults (not from the reference) ---

@@ -1,0 +1,237 @@
+"""Mutual-best Hausdorff conflation (SURVEY.md J2/J3/J4/W1/W2, G3 core).
+
+Replaces the reference's O(N_osm × N_import) nested loop with reverse
+re-scan per candidate (building_merge.py:646-735, reverse_match :620-640)
+by a set-based formulation:
+
+  1. earlier-import anti-join on exploded ';'-multi-valued ref:bygningsnr
+     (building_merge.py:659-674 → J4);
+  2. candidate pairs from a 3×3 cell-block equi-join on building centres —
+     a superset of both direction's ±2·margin_hausdorff strict bboxes
+     (building_merge.py:694-701 forward, :625-632 reverse), then the exact
+     strict-inequality bbox predicates as native filters (convention:
+     min < c < max, NOT ≤ — SURVEY.md P5);
+  3. symmetric Hausdorff per pair, once, in an Arrow pandas UDF;
+  4. forward best per OSM building over forward-bbox pairs (W1) and
+     reverse best per import building over reverse-bbox pairs (W2) via
+     row_number windows; mutual-best inner join; thresholds
+     (10 m / 5 m tagged — the reference's `A and B or C` precedence at
+     building_merge.py:720 is preserved) and the area-ratio gate
+     (0.4 < osm/import < 2.5, :728).
+
+Order-dependence note (SURVEY.md J2 trap): the reference matches greedily
+in OSM iteration order and removes each matched import building
+(building_merge.py:731), so a later OSM building cannot reuse it. The
+mutual-best formulation is order-free; the two agree whenever best matches
+are unique (parity-tested against the reference's own merge_buildings on
+fixtures; ties broken by id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..constants import (
+    IDENTICAL_MARGIN,
+    MARGIN_AREA,
+    MARGIN_HAUSDORFF,
+    MARGIN_TAGGED,
+)
+from ..functions.columns import cell_id_col, coordinate_offset_cols
+from ..functions.udfs import hausdorff_udf
+from .knn import _neighbors9
+
+# cell resolution for the candidate join: cells ≈ 150 m ≫ 2×10 m margin,
+# so a 3×3 block around one centre always covers the other's bbox test
+CONFLATE_RES = 17
+
+
+def explode_refs(df: DataFrame, ref_col: str, out: str = "ref_value") -> DataFrame:
+    """';'-multi-valued ref → one row per value (building_merge.py:664-667)."""
+    return df.withColumn(
+        out, F.explode(F.filter(F.split(F.col(ref_col), ";"), lambda x: x != ""))
+    )
+
+
+def anti_join_earlier_imports(
+    imports: DataFrame, osm: DataFrame, import_ref: str = "ref", osm_ref_tag: str = "ref_tag"
+) -> DataFrame:
+    """Drop import buildings whose ref already exists in OSM (J4;
+    building_merge.py:659-674 / filter_buildings.py:23-60)."""
+    osm_refs = (
+        explode_refs(osm.filter(F.col(osm_ref_tag).isNotNull()), osm_ref_tag)
+        .select(F.col("ref_value").alias(import_ref))
+        .distinct()
+    )
+    return imports.join(F.broadcast(osm_refs), import_ref, "left_anti")
+
+
+def conflate(
+    osm: DataFrame,
+    imports: DataFrame,
+    *,
+    margin_hausdorff: float = MARGIN_HAUSDORFF,
+    margin_tagged: float = MARGIN_TAGGED,
+    margin_area: float = MARGIN_AREA,
+) -> DataFrame:
+    """Match OSM buildings to import buildings, mutual-best under thresholds.
+
+    osm columns:     osm_id long, ring array<array<double>> (closed outer
+                     ring), c_lon, c_lat (centre), area long (merge-radius
+                     area, building_merge.py:442), tagged boolean
+                     (building_merge.py:444-448), ref_tag string nullable
+                     (existing ref:bygningsnr tag).
+    imports columns: ref string, ring array<array<double>>, c_lon, c_lat,
+                     area long.
+
+    Returns matches: (osm_id, ref, hausdorff_m, identical) — one row per
+    mutual-best accepted pair.
+    """
+    # J4: drop already-imported refs; skip OSM buildings already reffed
+    imp = anti_join_earlier_imports(imports, osm).select(
+        F.col("ref").alias("i_ref"),
+        F.col("ring").alias("i_ring"),
+        F.col("c_lon").alias("i_lon"),
+        F.col("c_lat").alias("i_lat"),
+        F.col("area").alias("i_area"),
+    )
+    o = osm.filter(F.col("ref_tag").isNull()).select(
+        "osm_id",
+        F.col("ring").alias("o_ring"),
+        F.col("c_lon").alias("o_lon"),
+        F.col("c_lat").alias("o_lat"),
+        F.col("area").alias("o_area"),
+        "tagged",
+    )
+
+    # candidate superset: 3×3 cell block around the OSM centre × import cell
+    cand = (
+        o.withColumn("__cells", _neighbors9(F.col("o_lon"), F.col("o_lat"), CONFLATE_RES))
+        .select("*", F.explode("__cells").alias("__cell"))
+        .drop("__cells")
+        .join(
+            imp.withColumn(
+                "__cell", cell_id_col(F.col("i_lon"), F.col("i_lat"), CONFLATE_RES)
+            ),
+            "__cell",
+        )
+        .drop("__cell")
+    )
+
+    # exact strict bbox predicates, both directions (building_merge.py:694-701, 625-632)
+    o_minlon, o_minlat = coordinate_offset_cols(
+        F.col("o_lon"), F.col("o_lat"), -2.0 * margin_hausdorff
+    )
+    o_maxlon, o_maxlat = coordinate_offset_cols(
+        F.col("o_lon"), F.col("o_lat"), +2.0 * margin_hausdorff
+    )
+    i_minlon, i_minlat = coordinate_offset_cols(
+        F.col("i_lon"), F.col("i_lat"), -2.0 * margin_hausdorff
+    )
+    i_maxlon, i_maxlat = coordinate_offset_cols(
+        F.col("i_lon"), F.col("i_lat"), +2.0 * margin_hausdorff
+    )
+    cand = cand.withColumn(
+        "fwd",
+        (o_minlon < F.col("i_lon")) & (F.col("i_lon") < o_maxlon)
+        & (o_minlat < F.col("i_lat")) & (F.col("i_lat") < o_maxlat),
+    ).withColumn(
+        "rev",
+        (i_minlon < F.col("o_lon")) & (F.col("o_lon") < i_maxlon)
+        & (i_minlat < F.col("o_lat")) & (F.col("o_lat") < i_maxlat),
+    ).filter(F.col("fwd") | F.col("rev"))
+
+    # symmetric Hausdorff once per surviving pair (F9)
+    scored = cand.withColumn(
+        "hausdorff_m", hausdorff_udf(F.col("o_ring"), F.col("i_ring"))
+    ).drop("o_ring", "i_ring")
+    scored.persist()
+
+    # W1: forward best per OSM building (candidates = forward-bbox pairs)
+    w_fwd = Window.partitionBy("osm_id").orderBy(F.col("hausdorff_m"), F.col("i_ref"))
+    fwd_best = (
+        scored.filter("fwd")
+        .withColumn("rn", F.row_number().over(w_fwd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        # threshold with the reference's precedence: (h < 10 AND NOT tagged) OR h < 5
+        .filter(
+            ((F.col("hausdorff_m") < margin_hausdorff) & ~F.col("tagged"))
+            | (F.col("hausdorff_m") < margin_tagged)
+        )
+    )
+
+    # W2: reverse best per import building (candidates = reverse-bbox pairs)
+    w_rev = Window.partitionBy("i_ref").orderBy(F.col("hausdorff_m"), F.col("osm_id"))
+    rev_best = (
+        scored.filter("rev")
+        .withColumn("rn", F.row_number().over(w_rev))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("hausdorff_m") < margin_hausdorff)
+        .select(
+            F.col("osm_id").alias("r_osm_id"),
+            F.col("i_ref").alias("r_ref"),
+        )
+    )
+
+    # mutual best + area-ratio gate (building_merge.py:725-728)
+    matches = (
+        fwd_best.join(
+            rev_best,
+            (F.col("osm_id") == F.col("r_osm_id")) & (F.col("i_ref") == F.col("r_ref")),
+        )
+        .filter(
+            (F.lit(margin_area) < F.col("o_area") / F.col("i_area"))
+            & (F.col("o_area") / F.col("i_area") < F.lit(1.0 / margin_area))
+        )
+        .select(
+            "osm_id",
+            F.col("i_ref").alias("ref"),
+            "hausdorff_m",
+            (F.col("hausdorff_m") < IDENTICAL_MARGIN).alias("identical"),
+        )
+    )
+    return matches
+
+
+def identical_pair_count(osm: DataFrame, imports: DataFrame) -> int:
+    """J3 diagnostic: forward-bbox pairs with Hausdorff < 1 m
+    (building_merge.py:706-709)."""
+    imp = anti_join_earlier_imports(imports, osm)
+    o = osm.filter(F.col("ref_tag").isNull())
+    cand = (
+        o.withColumn("__cells", _neighbors9(F.col("c_lon"), F.col("c_lat"), CONFLATE_RES))
+        .select(
+            F.col("osm_id"),
+            F.col("ring").alias("o_ring"),
+            F.col("c_lon").alias("o_lon"),
+            F.col("c_lat").alias("o_lat"),
+            F.explode("__cells").alias("__cell"),
+        )
+        .join(
+            imp.select(
+                F.col("ref").alias("i_ref"),
+                F.col("ring").alias("i_ring"),
+                F.col("c_lon").alias("i_lon"),
+                F.col("c_lat").alias("i_lat"),
+            ).withColumn("__cell", cell_id_col(F.col("i_lon"), F.col("i_lat"), CONFLATE_RES)),
+            "__cell",
+        )
+    )
+    o_minlon, o_minlat = coordinate_offset_cols(
+        F.col("o_lon"), F.col("o_lat"), -2.0 * MARGIN_HAUSDORFF
+    )
+    o_maxlon, o_maxlat = coordinate_offset_cols(
+        F.col("o_lon"), F.col("o_lat"), +2.0 * MARGIN_HAUSDORFF
+    )
+    return (
+        cand.filter(
+            (o_minlon < F.col("i_lon")) & (F.col("i_lon") < o_maxlon)
+            & (o_minlat < F.col("i_lat")) & (F.col("i_lat") < o_maxlat)
+        )
+        .withColumn("h", hausdorff_udf(F.col("o_ring"), F.col("i_ring")))
+        .filter(F.col("h") < IDENTICAL_MARGIN)
+        .count()
+    )

@@ -310,6 +310,117 @@ def subdivisions_pdf(nx: int = 4, ny: int = 4) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+# ---------------------------------------------------------------------------
+# conflation fixture (FIXTURES.md §6)
+# ---------------------------------------------------------------------------
+
+def conflation_pdfs(n: int = 64, seed: int = 42):
+    """(osm_pdf, import_pdf) exercising every conflation gate: identical,
+    small/medium offsets, tagged-margin rejection, far offsets, area-ratio
+    violations, already-imported refs (anti-join), multi-valued refs, and
+    unmatched buildings on both sides. Bases are ≥ 200 m apart so candidate
+    bboxes (±20 m) never span two bases — match results are then
+    order-independent and the reference's greedy scan equals mutual-best.
+    """
+    from .. import geom as G
+
+    rng = np.random.default_rng(seed)
+    minlon, minlat, maxlon, maxlat = BBOX
+    cols = 16
+    step_lat = 0.0027  # ≈ 300 m
+    step_lon = 0.0054  # ≈ 300 m at 60°N
+    osm_rows, import_rows = [], []
+    for i in range(n):
+        gx, gy = i % cols, i // cols
+        cx = minlon + 0.01 + gx * step_lon
+        cy = minlat + 0.01 + gy * step_lat
+        w_m, h_m = float(rng.uniform(8, 24)), float(rng.uniform(8, 24))
+        angle = float(rng.uniform(0, 180))
+        base = _rect_ring(cx, cy, w_m, h_m, angle)
+        kind = i % 8
+        ref = str(20000000 + i)
+
+        def offset_ring(ring, d_east_m, d_north_m):
+            arr = np.asarray(ring, dtype=np.float64)
+            dlat = d_north_m / 111320.0
+            dlon = d_east_m / (111320.0 * np.cos(np.radians(cy)))
+            return np.round(arr + [dlon, dlat], 7).tolist()
+
+        def scale_ring(ring, f):
+            arr = np.asarray(ring, dtype=np.float64)
+            c = arr[:-1].mean(axis=0)
+            out = c + (arr - c) * f
+            return np.round(out, 7).tolist()
+
+        def mk_osm(ring, tags, tagged=False):
+            arr = np.asarray(ring, dtype=np.float64)
+            clon, clat = G.polygon_centre(arr)
+            return {
+                "osm_id": -(1000 + i),
+                "ring": ring,
+                "c_lon": clon,
+                "c_lat": clat,
+                "area": abs(G.polygon_area_merge(arr)),
+                "tagged": tagged,
+                "ref_tag": tags.get("ref:bygningsnr"),
+                "tags": tags,
+            }
+
+        def mk_import(ring, ref_value, building="house"):
+            arr = np.asarray(ring, dtype=np.float64)
+            clon, clat = G.polygon_centre(arr)
+            return {
+                "ref": ref_value,
+                "ring": ring,
+                "c_lon": clon,
+                "c_lat": clat,
+                "area": abs(G.polygon_area_merge(arr)),
+                "building": building,
+            }
+
+        if kind == 0:  # identical → match, identical flag
+            osm_rows.append(mk_osm(base, {"building": "yes"}))
+            import_rows.append(mk_import(base, ref))
+        elif kind == 1:  # 2 m offset → match
+            osm_rows.append(mk_osm(base, {"building": "yes"}))
+            import_rows.append(mk_import(offset_ring(base, 2, 1), ref))
+        elif kind == 2:  # ~7 m offset, untagged → match under 10 m margin
+            osm_rows.append(mk_osm(base, {"building": "yes"}))
+            import_rows.append(mk_import(offset_ring(base, 7, 0), ref))
+        elif kind == 3:  # ~7 m offset but tagged → needs < 5 m → NO match
+            osm_rows.append(
+                mk_osm(base, {"building": "house", "name": "X"}, tagged=True)
+            )
+            import_rows.append(mk_import(offset_ring(base, 7, 0), ref))
+        elif kind == 4:  # 30 m offset → outside ±20 m candidate bbox → NO match
+            osm_rows.append(mk_osm(base, {"building": "yes"}))
+            import_rows.append(mk_import(offset_ring(base, 30, 5), ref))
+        elif kind == 5:  # area ratio 0.25 < 0.4 → NO match
+            osm_rows.append(mk_osm(base, {"building": "yes"}))
+            import_rows.append(mk_import(scale_ring(base, 2.0), ref))
+        elif kind == 6:  # OSM already carries the ref (multi-valued) → both skipped
+            osm_rows.append(
+                mk_osm(base, {"building": "yes", "ref:bygningsnr": ref + ";999"})
+            )
+            import_rows.append(mk_import(offset_ring(base, 1, 1), ref))
+        else:  # kind == 7: unmatched singletons, alternating side
+            if (i // 8) % 2 == 0:
+                osm_rows.append(mk_osm(base, {"building": "yes"}))
+            else:
+                import_rows.append(mk_import(base, ref))
+    return pd.DataFrame(osm_rows), pd.DataFrame(import_rows)
+
+
+OSM_CONFLATE_SCHEMA = (
+    "osm_id long, ring array<array<double>>, c_lon double, c_lat double, "
+    "area long, tagged boolean, ref_tag string, tags map<string,string>"
+)
+IMPORT_CONFLATE_SCHEMA = (
+    "ref string, ring array<array<double>>, c_lon double, c_lat double, "
+    "area long, building string"
+)
+
+
 GEOMETRY_POLYGON_T = "array<array<array<double>>>"
 GEOMETRY_MULTIPOLYGON_T = "array<array<array<array<double>>>>"
 

@@ -1,0 +1,99 @@
+"""Conflation parity: engine mutual-best join vs the reference's own
+merge_buildings() run on identical in-memory input."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from building2osm_spark.operators.conflate import conflate, identical_pair_count
+from building2osm_spark.sources import fixtures as FX
+from tests.conftest import import_reference
+
+
+def run_reference_merge(osm_pdf, import_pdf):
+    """Drive the reference's merge_buildings on our fixture (module globals
+    set up exactly as load_osm_buildings/load_import_buildings would)."""
+    ref = import_reference("building_merge")
+    osm_buildings = []
+    for _, r in osm_pdf.iterrows():
+        way = {
+            "type": "way",
+            "id": int(r["osm_id"]),
+            "nodes": [],
+            "tags": dict(r["tags"]),
+            "polygon": [tuple(p) for p in r["ring"]],
+            "center": (float(r["c_lon"]), float(r["c_lat"])),
+            "area": int(r["area"]),
+        }
+        if r["tagged"]:
+            way["tagged"] = True
+        osm_buildings.append(way)
+    import_buildings = []
+    for _, r in import_pdf.iterrows():
+        import_buildings.append(
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[tuple(p) for p in r["ring"]]],
+                },
+                "properties": {"building": r["building"], "ref:bygningsnr": r["ref"]},
+                "center": (float(r["c_lon"]), float(r["c_lat"])),
+                "area": int(r["area"]),
+            }
+        )
+    ref.osm_buildings = osm_buildings
+    ref.import_buildings = import_buildings
+    ref.osm_elements = list(osm_buildings)
+    ref.osm_nodes = {}
+    ref.import_nodes = {}
+    ref.osm_id = -1000000
+    ref.debug = False
+    ref.merge_buildings()
+    matched = {
+        (w["id"], w["tags"]["ref:bygningsnr"])
+        for w in osm_buildings
+        if w.get("action") == "modify"
+    }
+    return matched
+
+
+def test_conflate_matches_reference(spark):
+    osm_pdf, import_pdf = FX.conflation_pdfs(64)
+    want = run_reference_merge(osm_pdf, import_pdf)
+    assert len(want) > 0  # fixture sanity: some pairs must match
+
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    imports = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA)
+    got_rows = conflate(osm, imports).collect()
+    got = {(r.osm_id, r.ref) for r in got_rows}
+    assert got == want
+
+    # expected category outcomes: kinds 0-2 match, 3-7 don't
+    matched_kinds = {int(ref) % 8 for _, ref in got}
+    assert matched_kinds == {0, 1, 2}
+
+    # identical flag only for the exact copies (kind 0)
+    for r in got_rows:
+        assert r.identical == (int(r.ref) % 8 == 0)
+
+
+def test_identical_count_matches_reference_semantics(spark):
+    osm_pdf, import_pdf = FX.conflation_pdfs(64)
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    imports = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA)
+    # kind-0 pairs: 64/8 = 8 identical pairs; kind-6 pairs are excluded by
+    # the ref skip; nothing else is < 1 m
+    assert identical_pair_count(osm, imports) == 8
+
+
+def test_anti_join_drops_already_imported(spark):
+    osm_pdf, import_pdf = FX.conflation_pdfs(64)
+    from building2osm_spark.operators.conflate import anti_join_earlier_imports
+
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    imports = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA)
+    kept = anti_join_earlier_imports(imports, osm)
+    dropped = imports.count() - kept.count()
+    # kind 6 appears 8 times: those refs are already in OSM (multi-valued tag)
+    assert dropped == 8
