@@ -223,41 +223,104 @@ def _rect_ring(cx: float, cy: float, w_m: float, h_m: float, angle_deg: float = 
     return ring.tolist()
 
 
-def buildings_pdf(n: int, seed: int = 42) -> pd.DataFrame:
-    """Synthetic footprints (FIXTURES.md §2): rotated rectangles with jitter
-    below/above rectify thresholds, plus L-shapes, in the fixture bbox."""
+def _metres_frame(cy: float):
+    dlat = 1.0 / 111320.0
+    dlon = dlat / np.cos(np.radians(cy))
+    return dlon, dlat
+
+
+def _poly_from_metres(cx: float, cy: float, pts_m: np.ndarray, angle_deg: float = 0.0) -> list:
+    dlon, dlat = _metres_frame(cy)
+    a = np.radians(angle_deg)
+    rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+    pts = np.asarray(pts_m, dtype=np.float64) @ rot.T
+    ring = np.round(
+        np.stack([cx + pts[:, 0] * dlon, cy + pts[:, 1] * dlat], axis=1), 7
+    )
+    return ring.tolist()
+
+
+def building_geometries(n: int, seed: int = 42) -> list[tuple[str, list]]:
+    """(ref, rings) footprints exercising every rectify/simplify branch
+    (FIXTURES.md §2): clean + jittered + over-jittered rectangles,
+    redundant straight-line nodes, short walls, L-shapes, connected
+    groups sharing wall vertices, and curved-wall polygons."""
     rng = np.random.default_rng(seed)
     minlon, minlat, maxlon, maxlat = BBOX
+    out: list[tuple[str, list]] = []
+    i = 0
+    serial = 0
+    while serial < n:
+        cx = float(rng.uniform(minlon + 0.01, maxlon - 0.01))
+        cy = float(rng.uniform(minlat + 0.005, maxlat - 0.005))
+        w_m, h_m = float(rng.uniform(8, 24)), float(rng.uniform(8, 24))
+        angle = float(rng.uniform(0, 180))
+        kind = i % 7
+        i += 1
+
+        def emit(rings):
+            nonlocal serial
+            out.append((str(10000000 + serial), rings))
+            serial += 1
+
+        if kind == 0:  # clean rectangle → rectifies with zero movement
+            pts = np.array([[0, 0], [w_m, 0], [w_m, h_m], [0, h_m], [0, 0]], float)
+            emit([_poly_from_metres(cx, cy, pts, angle)])
+        elif kind == 1:  # sub-threshold corner jitter (< rectify_margin)
+            pts = np.array([[0, 0], [w_m, 0], [w_m, h_m], [0, h_m], [0, 0]], float)
+            pts[1:4] += rng.uniform(-0.08, 0.08, (3, 2))
+            pts[-1] = pts[0]
+            emit([_poly_from_metres(cx, cy, pts, angle)])
+        elif kind == 2:  # heavy jitter → NORECTIFY (angles off) or abort
+            pts = np.array([[0, 0], [w_m, 0], [w_m, h_m], [0, h_m], [0, 0]], float)
+            pts[1:4] += rng.uniform(-1.5, 1.5, (3, 2))
+            pts[-1] = pts[0]
+            emit([_poly_from_metres(cx, cy, pts, angle)])
+        elif kind == 3:  # redundant node mid-wall (straight line, ~2° kink)
+            pts = np.array(
+                [[0, 0], [w_m / 2, 0.02], [w_m, 0], [w_m, h_m], [0, h_m], [0, 0]],
+                float,
+            )
+            emit([_poly_from_metres(cx, cy, pts, angle)])
+        elif kind == 4:  # L-shape (6 square corners)
+            pts = np.array(
+                [[0, 0], [w_m, 0], [w_m, h_m / 2], [w_m / 2, h_m / 2],
+                 [w_m / 2, h_m], [0, h_m], [0, 0]], float
+            )
+            emit([_poly_from_metres(cx, cy, pts, angle)])
+        elif kind == 5:  # connected pair: row houses sharing one wall
+            pts_a = np.array([[0, 0], [w_m, 0], [w_m, h_m], [0, h_m], [0, 0]], float)
+            pts_b = np.array(
+                [[w_m, 0], [2 * w_m, 0], [2 * w_m, h_m], [w_m, h_m], [w_m, 0]], float
+            )
+            ring_a = _poly_from_metres(cx, cy, pts_a, angle)
+            ring_b = _poly_from_metres(cx, cy, pts_b, angle)
+            emit([ring_a])
+            emit([ring_b])
+        else:  # kind == 6: semicircular east end — ~20° same-sign turns
+            # (inside the 0.3°..40° curve window, above the 8° angle margin
+            # → NORECTIFY + curve branch in simplify)
+            r = h_m / 2.0
+            arc = [
+                [w_m + r * np.sin(t), r - r * np.cos(t)]
+                for t in np.linspace(0.0, np.pi, 10)
+            ]
+            pts = np.array([[0, 0]] + arc + [[0, h_m], [0, 0]], float)
+            emit([_poly_from_metres(cx, cy, pts, 0.0)])
+    return out[:n]
+
+
+def buildings_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Synthetic footprints table (FIXTURES.md §2)."""
+    rng = np.random.default_rng(seed + 1)
     statuses = ["RA", "IG", "MB", "FA", "TB", "MT", "MF", "GR", "IP", "FS"]
     types = ["111", "112", "113", "121", "142", "181", "231", "241", "311", "412"]
     rows = []
-    for i in range(n):
-        cx = rng.uniform(minlon + 0.01, maxlon - 0.01)
-        cy = rng.uniform(minlat + 0.005, maxlat - 0.005)
-        kind = i % 4
-        if kind < 3:  # rectangle (some jittered)
-            jitter = 0.0 if kind == 0 else (0.05 if kind == 1 else 0.5)
-            ring = _rect_ring(
-                cx, cy, rng.uniform(6, 30), rng.uniform(6, 30),
-                angle_deg=float(rng.uniform(0, 180)), jitter_m=jitter, rng=rng,
-            )
-            geometry = [ring]
-        else:  # L-shape
-            w_m, h_m = rng.uniform(10, 30), rng.uniform(10, 30)
-            dlat = 1.0 / 111320.0
-            dlon = dlat / np.cos(np.radians(cy))
-            pts = np.array(
-                [[0, 0], [w_m, 0], [w_m, h_m / 2], [w_m / 2, h_m / 2],
-                 [w_m / 2, h_m], [0, h_m], [0, 0]], dtype=np.float64
-            )
-            ring = np.round(
-                np.stack([cx + pts[:, 0] * dlon, cy + pts[:, 1] * dlat], axis=1), 7
-            )
-            geometry = [ring.tolist()]
+    for ref, rings in building_geometries(n, seed):
         rows.append(
             {
-                "ref": str(10000000 + i),
-                "geometry": geometry,
+                "ref": ref,
+                "geometry": rings,
                 "geom_type": "Polygon",
                 "building_type": types[int(rng.integers(0, len(types)))],
                 "status": statuses[int(rng.integers(0, len(statuses)))],
