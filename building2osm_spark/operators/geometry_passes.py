@@ -1,0 +1,223 @@
+"""Distributed rectify + simplify over DataFrames (SURVEY.md G1/G2, J10).
+
+Spark shape of the passes whose pure kernels live in geopasses.py:
+
+  stage 1  connected components over shared vertices — iterative label
+           propagation (the one genuinely graph-shaped op, J10): labels
+           converge in O(diameter) rounds and building clusters are tiny,
+           so 2-4 rounds suffice; each round is two hash aggregations;
+  stage 2  groupBy(component).applyInPandas(rectify kernel) — each group
+           enters the kernel exactly once (the reference's 'rectified'
+           memo X5 is free in dataflow form);
+  stage 3  simplify census: explode all post-rectify vertices (closing
+           duplicate INCLUDED — reference quirk, building2osm.py:786-792)
+           → groupBy(vertex).count();
+  stage 4  per-building decrement marks (Arrow kernel) for non-rectified
+           buildings → groupBy(vertex).count();
+  stage 5  removable = census − marks == 0, unioned with the rectify
+           pass's dropped straight-line nodes; physical removal by joining
+           each building's own removable subset back (vertex-keyed then
+           ref-keyed shuffles — never a driver-side set at scale).
+
+The reference's shared mutable dicts (`nodes`, `remove_nodes`,
+building2osm.py:779-794,870-896) become DataFrames; semantics are
+identical (verified against geopasses.apply_passes, which is itself
+parity-tested against the reference).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import geopasses as GP
+
+def _to_rings(geometry) -> list[list[tuple[float, float]]]:
+    return [[(p[0], p[1]) for p in ring] for ring in geometry]
+
+
+def _explode_vertices(df: DataFrame, include_closing: bool) -> DataFrame:
+    """(ref, vlon, vlat) one row per vertex occurrence of every ring."""
+    ring = F.explode("geometry").alias("ring")
+    rings = df.select("ref", ring)
+    verts = rings.select(
+        "ref",
+        F.explode(
+            F.col("ring") if include_closing else F.slice("ring", 1, F.size("ring") - 1)
+        ).alias("v"),
+    )
+    return verts.select(
+        "ref", F.col("v")[0].alias("vlon"), F.col("v")[1].alias("vlat")
+    )
+
+
+def connected_components(df: DataFrame, max_iter: int = 6) -> DataFrame:
+    """(ref, component) via min-label propagation across shared vertices.
+    Component id = lexicographically smallest member ref."""
+    verts = _explode_vertices(df, include_closing=False).distinct()
+    verts.persist()
+    labels = df.select("ref").withColumn("component", F.col("ref"))
+    for _ in range(max_iter):
+        vertex_label = (
+            verts.join(labels, "ref")
+            .groupBy("vlon", "vlat")
+            .agg(F.min("component").alias("vlabel"))
+        )
+        new_labels = (
+            verts.join(vertex_label, ["vlon", "vlat"])
+            .groupBy("ref")
+            .agg(F.min("vlabel").alias("component"))
+        )
+        changed = (
+            labels.alias("a")
+            .join(new_labels.alias("b"), "ref")
+            .filter(F.col("a.component") != F.col("b.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    verts.unpersist()
+    return labels
+
+
+GEOM_T = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+_RECTIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("ref", T.StringType()),
+        T.StructField("geometry", GEOM_T),
+        T.StructField("rectified", T.StringType()),
+        T.StructField("removed", GEOM_T),  # [ [ [lon,lat], ...] ] one pseudo-ring
+    ]
+)
+
+
+def _rectify_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("ref")  # canonical insertion order (SURVEY.md O1/O4)
+    buildings = [ _to_rings(g) for g in pdf["geometry"] ]
+    res = GP.rectify_group(buildings)
+    removed = [[list(n) for n in sorted(res.removed_nodes)]]
+    rows = {
+        "ref": list(pdf["ref"]),
+        "geometry": [
+            [[list(p) for p in ring] for ring in rings] for rings in res.buildings
+        ],
+        "rectified": [res.status] * len(buildings),
+        "removed": [removed] + [[[]]] * (len(buildings) - 1),
+    }
+    return pd.DataFrame(rows)
+
+
+def rectify(df: DataFrame) -> DataFrame:
+    """(ref, geometry, rectified, removed) after group orthogonalization."""
+    comps = connected_components(df)
+    return (
+        df.join(comps, "ref")
+        .groupBy("component")
+        .applyInPandas(_rectify_kernel, schema=_RECTIFY_SCHEMA)
+    )
+
+
+_MARKS_SCHEMA = T.StructType(
+    [
+        T.StructField("vlon", T.DoubleType()),
+        T.StructField("vlat", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _marks_kernel(batches):
+    for pdf in batches:
+        out: dict[tuple[float, float], int] = {}
+        for g in pdf["geometry"]:
+            for node in GP.simplify_marks(_to_rings(g)):
+                out[node] = out.get(node, 0) + 1
+        if out:
+            yield pd.DataFrame(
+                {
+                    "vlon": [k[0] for k in out],
+                    "vlat": [k[1] for k in out],
+                    "n": list(out.values()),
+                }
+            )
+
+
+_REMOVE_SCHEMA = T.StructType(
+    [
+        T.StructField("ref", T.StringType()),
+        T.StructField("geometry", GEOM_T),
+        T.StructField("rectified", T.StringType()),
+        T.StructField("n_removed", T.LongType()),
+    ]
+)
+
+
+def simplify(rectified_df: DataFrame) -> DataFrame:
+    """Apply the simplify pass to the rectify output."""
+    census = (
+        _explode_vertices(rectified_df, include_closing=True)
+        .groupBy("vlon", "vlat")
+        .agg(F.count("*").alias("uses"))
+    )
+    marks = (
+        rectified_df.filter(F.col("rectified") != "done")
+        .select("geometry")
+        .mapInPandas(_marks_kernel, schema=_MARKS_SCHEMA)
+        .groupBy("vlon", "vlat")
+        .agg(F.sum("n").alias("marked"))
+    )
+    removable_from_census = (
+        census.join(marks, ["vlon", "vlat"])
+        .filter(F.col("uses") - F.col("marked") == 0)
+        .select("vlon", "vlat")
+    )
+    removable_from_rectify = (
+        rectified_df.select(F.explode("removed").alias("ring"))
+        .select(F.explode("ring").alias("v"))
+        .select(F.col("v")[0].alias("vlon"), F.col("v")[1].alias("vlat"))
+        .filter(F.col("vlon").isNotNull())
+    )
+    removable = removable_from_census.unionByName(removable_from_rectify).distinct()
+
+    # each building's own removable subset, joined back by ref
+    own = (
+        _explode_vertices(rectified_df, include_closing=False)
+        .join(removable, ["vlon", "vlat"])
+        .groupBy("ref")
+        .agg(F.collect_set(F.array("vlon", "vlat")).alias("to_remove"))
+    )
+    with_removals = rectified_df.join(own, "ref", "left")
+
+    def remove_kernel(batches):
+        for pdf in batches:
+            geoms, counts = [], []
+            for g, rem in zip(pdf["geometry"], pdf["to_remove"]):
+                rings = _to_rings(g)
+                rem_set = (
+                    {(p[0], p[1]) for p in rem} if rem is not None and len(rem) else set()
+                )
+                new_rings, n = GP.remove_marked(rings, rem_set)
+                geoms.append([[list(p) for p in ring] for ring in new_rings])
+                counts.append(n)
+            yield pd.DataFrame(
+                {
+                    "ref": pdf["ref"],
+                    "geometry": geoms,
+                    "rectified": pdf["rectified"],
+                    "n_removed": counts,
+                }
+            )
+
+    return with_removals.select("ref", "geometry", "rectified", "to_remove").mapInPandas(
+        remove_kernel, schema=_REMOVE_SCHEMA
+    )
+
+
+def rectify_and_simplify(df: DataFrame) -> DataFrame:
+    """Full pass pipeline: df(ref, geometry) → (ref, geometry, rectified,
+    n_removed). Equivalent to process_municipality's rectify+simplify
+    sequence (building2osm.py:1360-1361)."""
+    return simplify(rectify(df))

@@ -1,0 +1,51 @@
+"""Distributed rectify+simplify equals the pure-python twin (which is
+itself byte-parity-tested against the reference in test_geopasses.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from building2osm_spark import geopasses as GP
+from building2osm_spark.operators.geometry_passes import (
+    connected_components,
+    rectify_and_simplify,
+)
+from building2osm_spark.sources import fixtures as FX
+
+
+def test_spark_passes_equal_pure(spark):
+    geometries = FX.building_geometries(140)
+    df = spark.createDataFrame(
+        [(r, g) for r, g in geometries],
+        schema=f"ref string, geometry {FX.GEOMETRY_POLYGON_T}",
+    )
+    got_rows = rectify_and_simplify(df).collect()
+    got = {
+        r["ref"]: ([[tuple(p) for p in ring] for ring in r["geometry"]], r["rectified"])
+        for r in got_rows
+    }
+
+    pure_geoms, pure_status = GP.apply_passes(
+        [[[tuple(p) for p in ring] for ring in g] for _, g in geometries]
+    )
+    assert len(got) == len(geometries)
+    for i, (ref, _) in enumerate(geometries):
+        g_geom, g_status = got[ref]
+        assert g_status == pure_status[i], f"{ref}: {g_status} != {pure_status[i]}"
+        assert g_geom == pure_geoms[i], f"{ref}: geometry mismatch"
+
+
+def test_connected_components_labels(spark):
+    geometries = FX.building_geometries(140)
+    df = spark.createDataFrame(
+        [(r, g) for r, g in geometries],
+        schema=f"ref string, geometry {FX.GEOMETRY_POLYGON_T}",
+    )
+    comp = connected_components(df)
+    sizes = comp.groupBy("component").count()
+    pairs = sizes.filter(F.col("count") >= 2).count()
+    assert pairs >= 10  # the row-house pairs
+    assert comp.count() == 140
+    # component id is the min member ref
+    bad = comp.filter(F.col("component") > F.col("ref")).count()
+    assert bad == 0
