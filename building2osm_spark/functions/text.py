@@ -1,0 +1,96 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Engine-native additions (task brief): language-ID (stopword n-gram
+heuristic), quality scoring, token counting (whitespace + BPE-ish regex),
+and document fingerprinting (rolling hash). All pure Catalyst expressions
+— these run inside whole-stage codegen over 100 TB of documents, so no
+Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (heuristic, not a model)
+_STOPWORDS = {
+    "en": ["the", "and", "of", "a", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "la", "de", "los", "es", "una"],
+}
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token estimate: word-boundary pieces + punctuation pieces
+    (regex split on boundaries), ~ GPT-2 pre-tokenizer granularity."""
+    pieces = F.split(text, r"(?=\s)|(?<=\s)|(?=[.,!?;:])")
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Occurrences of the language's marker stopwords as standalone words."""
+    lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0)
+    for w in _STOPWORDS[lang]:
+        token = f" {w} "
+        # occurrence count via length difference
+        occ = (
+            F.length(lowered)
+            - F.length(F.replace(lowered, F.lit(token), F.lit("")))
+        ) / F.lit(len(token))
+        total = total + occ
+    return total.cast("long")
+
+
+def language_id(text: Column) -> Column:
+    """Argmax of stopword hit counts over {en, de, fr, es}; 'und' (undetermined)
+    when no marker is present."""
+    scores = F.array(
+        *[
+            F.struct(stopword_hits(text, lang).alias("s"), F.lit(lang).alias("lang"))
+            for lang in sorted(_STOPWORDS)
+        ]
+    )
+    best = F.array_max(scores)
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: penalises extreme length, high punctuation
+    density and low mean word length — the classic cheap pre-filter."""
+    n_chars = F.length(text).cast("double")
+    n_tokens = token_count_ws(text).cast("double")
+    mean_word = n_chars / F.greatest(n_tokens, F.lit(1.0))
+    punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", "")).cast("double")
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    len_term = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    word_term = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_term = F.when(punct_ratio < 0.1, F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round(len_term * word_term * punct_term, 6)
+
+
+_FP_MOD = (1 << 31) - 1  # Mersenne-31: products stay < 2^62 (ANSI-safe)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive 62-bit document fingerprint: two polynomial rolling
+    hashes over the word sequence (multipliers 31 and 131) in Mersenne-31
+    space, packed into one int64. Native aggregate — no overflow under
+    Spark's ANSI arithmetic."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+
+    def rolling(mult: int) -> Column:
+        return F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: (acc * F.lit(mult) + F.abs(F.xxhash64(w)) % _FP_MOD)
+            % _FP_MOD,
+        )
+
+    return F.shiftleft(rolling(31), 31).bitwiseOR(rolling(131))

@@ -1,0 +1,137 @@
+"""Dedup / similarity / text-analysis operator tests (training-data ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from building2osm_spark.operators import dedupe as D
+from building2osm_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # add near-duplicates: copy of doc_id with one word changed, and an
+    # exact duplicate, with shifted ids
+    dup = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    exact = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return base.unionByName(dup).unionByName(exact).cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs)
+    assert out.count() == docs.count() - 10  # the 10 exact copies collapse
+    # survivors are the lowest ids
+    assert out.filter(F.col("doc_id") >= 200000).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = D.minhash_signatures(docs, n_hashes=64, shingle_k=3)
+    pairs = D.minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every exact duplicate pair must be found (jaccard 1.0)
+    for i in range(10):
+        assert (i, i + 200000) in got
+    # near-duplicates (one appended word) should overwhelmingly be found
+    near_found = sum(1 for i in range(20) if (i, i + 100000) in got)
+    assert near_found >= 17
+
+
+def test_exact_jaccard_verification(spark, docs):
+    sigs = D.minhash_signatures(docs, n_hashes=64)
+    pairs = D.minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
+    verified = D.ngram_jaccard(docs, pairs.select("id_a", "id_b"))
+    rows = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    for i in range(10):
+        assert rows[(i, i + 200000)] == pytest.approx(1.0)
+    for (a, b), j in rows.items():
+        assert 0.0 <= j <= 1.0
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sims = D.simhash(docs)
+    pairs = D.simhash_near_pairs(sims, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for i in range(10):
+        assert got.get((i, i + 200000)) == 0
+
+
+def test_cosine_topk_brute_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    got = S.cosine_topk_bruteforce(queries, corpus, k=5).collect()
+
+    pdf = emb.toPandas()
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.c_id))
+    for q in range(10):
+        qi = np.where(ids == q)[0][0]
+        sims = Xn @ Xn[qi]
+        order = np.lexsort((ids, -sims))
+        want = [int(ids[j]) for j in order[:5]]
+        gotl = [c for _, c in sorted(by_q[q])]
+        assert gotl == want, f"q={q}: {gotl} != {want}"
+
+
+def test_ivf_recall_vs_brute(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    brute = S.cosine_topk_bruteforce(queries, corpus, k=5).collect()
+    # random 64-d vectors are IVF's worst case (no cluster structure):
+    # probe half the lists for a meaningful recall bound
+    ivf = S.cosine_topk_ivf(queries, corpus, k=5, n_centroids=16, nprobe=8).collect()
+    b = {}
+    for r in brute:
+        b.setdefault(r.q_id, set()).add(r.c_id)
+    v = {}
+    for r in ivf:
+        v.setdefault(r.q_id, set()).add(r.c_id)
+    recalls = [len(b[q] & v.get(q, set())) / 5 for q in b]
+    assert np.mean(recalls) >= 0.85, np.mean(recalls)
+
+
+def test_text_functions(spark, docs):
+    from building2osm_spark.functions import text as TX
+
+    out = docs.select(
+        "doc_id", "lang",
+        TX.token_count_ws(F.col("text")).alias("n_tok"),
+        TX.language_id(F.col("text")).alias("lang_guess"),
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    rows = out.collect()
+    for r in rows:
+        assert r.n_tok > 0
+        assert 0.0 <= r.q <= 1.0
+    # fingerprints of distinct texts differ (sample)
+    fps = [r.fp for r in rows[:50]]
+    assert len(set(fps)) > 40
+    # the fixture 'en' documents contain 'the'/'a' fillers: language_id
+    # should mostly agree on en docs
+    en = [r for r in rows if r.lang == "en"]
+    hit = sum(1 for r in en if r.lang_guess == "en") / len(en)
+    assert hit > 0.8
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # all native
