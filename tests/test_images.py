@@ -1,0 +1,69 @@
+"""Image payload kernels: codecs, phash consistency, PSNR invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from building2osm_spark.functions import images as IM
+from building2osm_spark.sources import fixtures as FX
+
+
+def test_codecs_roundtrip():
+    pix = FX._pixels_for("img_000000000007", 32, 16)
+    assert FX.decode_raw(FX.encode_raw(pix), 32, 16).tolist() == pix.tolist()
+    assert FX.decode_bmp(FX.encode_bmp(pix)).tolist() == pix.tolist()
+    q = FX.decode_qraw(FX.encode_qraw(pix), 32, 16)
+    assert FX.psnr(pix, q) >= 40.0  # the lossy invariant with margin
+
+
+def test_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        FX.decode_image(b"\xff\xd8\xff", "jpeg", 8, 8)
+
+
+def test_phash_stability():
+    pix = FX._pixels_for("img_000000000003", 64, 64)
+    p1 = FX.average_phash(pix)
+    assert p1 == FX.average_phash(pix.copy())
+    # a heavily altered image gets a different hash
+    other = FX._pixels_for("img_000000000004", 64, 64)
+    assert p1 != FX.average_phash(other)
+
+
+def test_decode_features_and_oracle_check(spark):
+    df = FX.spark_images(spark, 120)
+    feats = IM.decode_features(df).collect()
+    assert len(feats) == 120
+    by_id = {r.image_id: r for r in feats}
+    raw = {r["image_id"]: r for r in df.select("image_id", "fmt", "phash").collect()}
+    for img_id, r in by_id.items():
+        assert 0 <= r.mean_r <= 255
+        # phash column was computed from decoded bytes at generation time:
+        # re-derivation must agree exactly
+        assert r.phash_decoded == raw[img_id]["phash"]
+
+    checks = IM.verify_against_oracle(df).collect()
+    assert len(checks) == 120
+    for r in checks:
+        assert r.caption_ok and r.phash_ok
+        assert r.psnr_db >= 40.0
+
+
+def test_resize_block_mean(spark):
+    df = FX.spark_images(spark, 30)
+    small = IM.resize_block_mean(df, 8, 8)
+    rows = small.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.w == 8 and r.h == 8 and r.fmt == "raw"
+        assert len(r.bytes) == 8 * 8 * 3
+    # resized pixels approximate the oracle block means
+    r0 = rows[0]
+    orig = df.filter(F.col("image_id") == r0.image_id).first()
+    pix = FX.decode_image(bytes(orig.bytes), orig.fmt, orig.w, orig.h).astype(np.float64)
+    bh, bw = orig.h // 8, orig.w // 8
+    want = np.round(pix.reshape(8, bh, 8, bw, 3).mean(axis=(1, 3))).astype(np.uint8)
+    got = FX.decode_raw(bytes(r0.bytes), 8, 8)
+    assert np.array_equal(got, want)
