@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry():      flagship point-in-polygon tile assignment + kNN fallback on
+              the sf0.001 tables (customer-derived points → district grid).
+queries():    one entry per implemented operator from SURVEY.md §2 and the
+              training-data additions — see building2osm_spark/driver_queries.py.
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible entry;
+              grouped geometry kernels / LSH families / image kernels are
+              rows-only here and parity-tested in tests/ instead.
 """
 
 from __future__ import annotations
@@ -12,27 +14,31 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from building2osm_spark import driver_queries as DQ
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: assign customer-derived
+    points to the district grid (cover join + exact PIP refine), attach the
+    nearest supplier-derived target per district centroidal sample, and
+    return per-district assignment counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    assigned = DQ.q_pip_grid(spark, sf_dir)
+    knn = (
+        DQ.q_knn_nearest(spark, sf_dir)
+        .groupBy("target_id")
+        .agg(F.count("*").alias("n_nearest"))
+    )
+    return assigned.join(
+        knn.select(F.sum("n_nearest").alias("n_knn_total"))
+    ).orderBy("district")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(DQ.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(DQ.ORACLES)

@@ -1,0 +1,882 @@
+"""Driver-contract queries (SURVEY.md §2 coverage) + DuckDB oracle SQL.
+
+Each entry runs one implemented operator over the driver's parquet tables
+(/root/testdata/sf*/): the Spark side uses the ENGINE's operators and
+column functions; the oracle is plain SQL DuckDB runs on the same files.
+Column names are aliased identically on both sides (the driver's
+order-insensitive value-hash compares by sorted column name).
+
+Spatial queries derive deterministic point coordinates from table keys
+with pure arithmetic both engines evaluate bit-identically; derived
+points keep a ≥1e-4 margin from every polygon/grid boundary so PIP edge
+conventions can never flip a row.
+
+Entries without oracle SQL (rows-only driver check) run engine operators
+whose semantics are not SQL-expressible (grouped geometry kernels, LSH
+families, image kernels); those are parity-tested in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .constants import EARTH_RADIUS
+from .functions.columns import (
+    building_retag_cadastral_col,
+    distance_m_col,
+    fix_url_col,
+    parse_ref_col,
+)
+from .functions.text import doc_fingerprint, language_id, quality_score, token_count_ws
+from .operators.cover_join import assign_points_to_polygons
+from .operators.knn import knn_join
+from .operators import dedupe as DD
+from .operators import similarity as SIM
+
+BBOX = (10.60, 59.85, 11.00, 60.05)
+
+# -- derived point clouds ----------------------------------------------------
+# u = ((key*mult) % prime + 0.37) / prime stays ≥1e-4 away from any m/4 or
+# m/8 grid fraction; Spark and DuckDB compute identical doubles.
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    u1 = ((F.col("c_custkey") % 997) + F.lit(0.37)) / F.lit(997.0)
+    u2 = (((F.col("c_custkey") * 131) % 997) + F.lit(0.37)) / F.lit(997.0)
+    return cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.lit(BBOX[0]) + u1 * F.lit(BBOX[2] - BBOX[0])).alias("lon"),
+        (F.lit(BBOX[1]) + u2 * F.lit(BBOX[3] - BBOX[1])).alias("lat"),
+    )
+
+
+_POINTS_SQL = """
+SELECT c_custkey AS point_id,
+       10.60 + (((c_custkey % 997) + 0.37) / 997.0) * 0.4 AS lon,
+       59.85 + ((((c_custkey * 131) % 997) + 0.37) / 997.0) * 0.2 AS lat
+FROM customer
+"""
+
+
+def _targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    u1 = (((F.col("s_suppkey") * 37) % 991) + F.lit(0.41)) / F.lit(991.0)
+    u2 = (((F.col("s_suppkey") * 173) % 991) + F.lit(0.41)) / F.lit(991.0)
+    return supp.select(
+        F.col("s_suppkey").alias("target_id"),
+        (F.lit(BBOX[0]) + u1 * F.lit(BBOX[2] - BBOX[0])).alias("t_lon"),
+        (F.lit(BBOX[1]) + u2 * F.lit(BBOX[3] - BBOX[1])).alias("t_lat"),
+    )
+
+
+_TARGETS_SQL = """
+SELECT s_suppkey AS target_id,
+       10.60 + ((((s_suppkey * 37) % 991) + 0.41) / 991.0) * 0.4 AS t_lon,
+       59.85 + ((((s_suppkey * 173) % 991) + 0.41) / 991.0) * 0.2 AS t_lat
+FROM supplier
+"""
+
+_DIST_SQL = (
+    "6371000.0 * sqrt("
+    " pow((radians({tlon}) - radians({lon})) * cos(0.5 * (radians({lat}) + radians({tlat}))), 2)"
+    " + pow(radians({tlat}) - radians({lat}), 2))"
+)
+
+
+def _grid(spark: SparkSession):
+    from .sources.fixtures import spark_subdivisions, subdivisions_pdf
+
+    pdf = subdivisions_pdf(4, 4, plain=True)
+    from .sources.fixtures import SUBDIVISIONS_SCHEMA
+
+    return spark.createDataFrame(pdf, schema=SUBDIVISIONS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# J1: point-in-polygon cover join
+# ---------------------------------------------------------------------------
+
+def q_pip_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    subs = _grid(spark).select(F.col("name").alias("poly_id"), "geometry")
+    assigned = assign_points_to_polygons(pts, subs, multipolygon=True, broadcast=True)
+    return (
+        assigned.groupBy(F.col("poly_id").alias("district"))
+        .agg(F.count("*").alias("n_points"), F.sum("point_id").alias("sum_ids"))
+    )
+
+
+ORACLE_PIP_GRID = f"""
+WITH pts AS ({_POINTS_SQL})
+SELECT CAST(CAST(floor((lon - 10.60) / 0.1) AS INT) AS VARCHAR)
+         || lpad(CAST(CAST(floor((lat - 59.85) / 0.05) AS INT) AS VARCHAR), 2, '0')
+         || ' District' AS district,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(point_id) AS BIGINT) AS sum_ids
+FROM pts
+GROUP BY 1
+"""
+
+
+def q_pip_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = [[[10.63, 59.87], [10.93, 59.88], [10.72, 60.02], [10.63, 59.87]]]
+    subs = spark.createDataFrame(
+        [("tri", [tri])], schema="poly_id string, geometry array<array<array<array<double>>>>"
+    )
+    pts = _points(spark, sf_dir)
+    assigned = assign_points_to_polygons(pts, subs, multipolygon=True, broadcast=True)
+    return assigned.agg(
+        F.count("*").alias("n_inside"), F.sum("point_id").alias("sum_ids")
+    )
+
+
+ORACLE_PIP_TRIANGLE = f"""
+WITH pts AS ({_POINTS_SQL}),
+tri AS (SELECT 10.63 AS ax, 59.87 AS ay, 10.93 AS bx, 59.88 AS by_, 10.72 AS cx, 60.02 AS cy)
+SELECT CAST(count(*) AS BIGINT) AS n_inside, CAST(sum(point_id) AS BIGINT) AS sum_ids
+FROM pts, tri
+WHERE ((bx-ax)*(lat-ay) - (by_-ay)*(lon-ax)) > 0
+  AND ((cx-bx)*(lat-by_) - (cy-by_)*(lon-bx)) > 0
+  AND ((ax-cx)*(lat-cy) - (ay-cy)*(lon-cx)) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# J12: kNN join
+# ---------------------------------------------------------------------------
+
+def q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = knn_join(_points(spark, sf_dir), _targets(spark, sf_dir), k=1)
+    return got.select("point_id", "target_id")
+
+
+ORACLE_KNN = f"""
+WITH pts AS ({_POINTS_SQL}), tgt AS ({_TARGETS_SQL}),
+scored AS (
+  SELECT point_id, target_id,
+         {_DIST_SQL.format(lon='lon', lat='lat', tlon='t_lon', tlat='t_lat')} AS d,
+         row_number() OVER (
+            PARTITION BY point_id
+            ORDER BY {_DIST_SQL.format(lon='lon', lat='lat', tlon='t_lon', tlat='t_lat')}, target_id
+         ) AS rn
+  FROM pts, tgt
+)
+SELECT point_id, target_id FROM scored WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1/W2: mutual-best match (point form of the conflation windows)
+# ---------------------------------------------------------------------------
+
+def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    tgt = _targets(spark, sf_dir)
+    pairs = pts.join(tgt).withColumn(
+        "d", distance_m_col(F.col("lon"), F.col("lat"), F.col("t_lon"), F.col("t_lat"))
+    )
+    w_fwd = Window.partitionBy("point_id").orderBy("d", "target_id")
+    w_rev = Window.partitionBy("target_id").orderBy("d", "point_id")
+    fwd = pairs.withColumn("rn", F.row_number().over(w_fwd)).filter("rn = 1").drop("rn")
+    rev = pairs.withColumn("rn", F.row_number().over(w_rev)).filter("rn = 1").select(
+        F.col("point_id").alias("r_pid"), F.col("target_id").alias("r_tid")
+    )
+    return (
+        fwd.join(rev, (F.col("point_id") == F.col("r_pid")) & (F.col("target_id") == F.col("r_tid")))
+        .filter(F.col("d") < 2000.0)
+        .select("point_id", "target_id")
+    )
+
+
+ORACLE_MUTUAL_BEST = f"""
+WITH pts AS ({_POINTS_SQL}), tgt AS ({_TARGETS_SQL}),
+pairs AS (
+  SELECT point_id, target_id,
+         {_DIST_SQL.format(lon='lon', lat='lat', tlon='t_lon', tlat='t_lat')} AS d
+  FROM pts, tgt
+),
+fwd AS (
+  SELECT * FROM (SELECT point_id, target_id, d,
+      row_number() OVER (PARTITION BY point_id ORDER BY d, target_id) AS rn FROM pairs)
+  WHERE rn = 1
+),
+rev AS (
+  SELECT * FROM (SELECT point_id, target_id,
+      row_number() OVER (PARTITION BY target_id ORDER BY d, point_id) AS rn FROM pairs)
+  WHERE rn = 1
+)
+SELECT fwd.point_id AS point_id, fwd.target_id AS target_id
+FROM fwd JOIN rev ON fwd.point_id = rev.point_id AND fwd.target_id = rev.target_id
+WHERE fwd.d < 2000.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4: anti-join on exploded multi-valued refs
+# ---------------------------------------------------------------------------
+
+def q_anti_join_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    banned = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("ref_value"))
+        .distinct()
+    )
+    refs = F.concat_ws(";", F.col("l_orderkey").cast("string"), F.col("l_partkey").cast("string"))
+    tagged = li.withColumn("__refs", refs).withColumn(
+        "__rid", F.monotonically_increasing_id()
+    )
+    hit = (
+        tagged.select("__rid", F.explode(F.split("__refs", ";")).alias("ref_value"))
+        .join(F.broadcast(banned), "ref_value")
+        .select("__rid")
+        .distinct()
+    )
+    kept = tagged.join(hit, "__rid", "left_anti")
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+ORACLE_ANTI_JOIN = """
+WITH banned AS (
+  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS ref_value
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE CAST(l_orderkey AS VARCHAR) NOT IN (SELECT ref_value FROM banned)
+  AND CAST(l_partkey AS VARCHAR) NOT IN (SELECT ref_value FROM banned)
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1: levels pivot (conditional max + arithmetic projection, P8)
+# ---------------------------------------------------------------------------
+
+def q_levels_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    num = F.floor(F.col("value")).cast("long")
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", num)).alias("h"),
+        F.max(F.when(F.col("event_type") == "view", num)).alias("u"),
+        F.max(F.when(F.col("event_type") == "purchase", num)).alias("l"),
+    )
+    hu = F.coalesce(F.col("h"), F.lit(0)) + F.coalesce(F.col("u"), F.lit(0))
+    return agg.select(
+        "user_id",
+        F.when(hu > 1, hu).alias("building_levels"),
+        F.when(F.col("l") > 0, F.col("l")).alias("roof_levels"),
+    )
+
+
+ORACLE_LEVELS = """
+WITH agg AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN CAST(floor(value) AS BIGINT) END) AS h,
+         max(CASE WHEN event_type = 'view' THEN CAST(floor(value) AS BIGINT) END) AS u,
+         max(CASE WHEN event_type = 'purchase' THEN CAST(floor(value) AS BIGINT) END) AS l
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN coalesce(h, 0) + coalesce(u, 0) > 1
+            THEN coalesce(h, 0) + coalesce(u, 0) END AS building_levels,
+       CASE WHEN l > 0 THEN l END AS roof_levels
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5: top contributors
+# ---------------------------------------------------------------------------
+
+def q_top_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("user_id"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4: size-based retag CASE chain (engine column function)
+# ---------------------------------------------------------------------------
+
+def q_retag_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    names = F.array(F.lit("garage"), F.lit("barn"), F.lit("hotel"), F.lit("house"))
+    df = part.select(
+        "p_partkey",
+        F.element_at(names, (F.col("p_partkey") % 4 + 1).cast("int")).alias("building"),
+        (F.col("p_retailprice") / 10.0).alias("area"),
+    )
+    out = df.select(
+        "p_partkey",
+        building_retag_cadastral_col(F.col("building"), F.col("area")).alias("building"),
+    )
+    return out.groupBy("building").agg(F.count("*").alias("n"))
+
+
+ORACLE_RETAG = """
+WITH base AS (
+  SELECT p_partkey,
+         (['garage','barn','hotel','house'])[CAST(p_partkey % 4 + 1 AS INT)] AS building,
+         p_retailprice / 10.0 AS area
+  FROM part
+),
+retagged AS (
+  SELECT CASE
+           WHEN building = 'garage' AND area > 100 THEN 'garages'
+           WHEN building IN ('garage','barn') AND area < 15 THEN 'shed'
+           WHEN building = 'barn' AND area < 100 THEN 'farm_auxiliary'
+           WHEN building = 'hotel' AND area < 100 THEN 'cabin'
+           ELSE building END AS building
+  FROM base
+)
+SELECT building, CAST(count(*) AS BIGINT) AS n FROM retagged GROUP BY building
+"""
+
+
+# ---------------------------------------------------------------------------
+# J7: status-code lookup; A6 rollup
+# ---------------------------------------------------------------------------
+
+def q_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = F.create_map(
+        F.lit("O"), F.lit("Open"), F.lit("F"), F.lit("Finished"), F.lit("P"), F.lit("Pending")
+    )
+    return (
+        orders.select(m[F.col("o_orderstatus")].alias("status_label"))
+        .groupBy("status_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_STATUS = """
+SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished'
+            WHEN 'P' THEN 'Pending' END AS status_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+ORACLE_ROLLUP = """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1, W3, W4: windows
+# ---------------------------------------------------------------------------
+
+def q_best_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+ORACLE_BEST_PER_ORDER = """
+SELECT l_orderkey, l_linenumber, l_partkey
+FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem)
+WHERE rn = 1
+"""
+
+
+def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    prev = F.lag(F.unix_timestamp("l_shipdate")).over(w)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.unix_timestamp("l_shipdate") - prev).alias("gap_seconds"),
+    )
+
+
+ORACLE_LAG = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(floor(epoch(l_shipdate)) AS BIGINT)
+         - lag(CAST(floor(epoch(l_shipdate)) AS BIGINT)) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ) AS gap_seconds
+FROM lineitem
+"""
+
+
+def q_negative_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.orderBy("c_custkey")
+    return cust.select(
+        "c_custkey",
+        (F.lit(-1000) - F.row_number().over(w)).cast("long").alias("osm_id"),
+    )
+
+
+ORACLE_NEGATIVE_IDS = """
+SELECT c_custkey,
+       -1000 - row_number() OVER (ORDER BY c_custkey) AS osm_id
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# U3/U5: set operations
+# ---------------------------------------------------------------------------
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    b = ev.filter(F.col("event_type") == "error").select("user_id", "value")
+    return (
+        a.unionByName(b)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+ORACLE_UNION = """
+WITH u AS (
+  SELECT user_id, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, value FROM events WHERE event_type = 'error'
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+FROM u GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# F13/F16/F18/F19, JSON: scalar functions
+# ---------------------------------------------------------------------------
+
+def q_fix_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    decorated = F.concat(F.col("n_name"), F.lit(" Blå Æther Øy"))
+    return nation.select("n_nationkey", fix_url_col(decorated).alias("url_name"))
+
+
+ORACLE_FIX_URL = """
+SELECT n_nationkey,
+       replace(translate(n_name || ' Blå Æther Øy', 'ÆØÅæøå', 'EOAeoa'), ' ', '_') AS url_name
+FROM nation
+"""
+
+
+def q_parse_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    multi = F.concat_ws(
+        ";",
+        F.col("o_orderkey").cast("string"),
+        F.lit(""),
+        (F.col("o_orderkey") % 100).cast("string"),
+    )
+    parsed = orders.select("o_orderkey", parse_ref_col(multi).alias("refs"))
+    return parsed.select(
+        "o_orderkey",
+        F.size("refs").alias("n_refs"),
+        F.expr("aggregate(refs, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("sum_refs"),
+    )
+
+
+ORACLE_PARSE_REF = """
+SELECT o_orderkey,
+       CAST(len(list_distinct([CAST(o_orderkey AS BIGINT), CAST(o_orderkey % 100 AS BIGINT)])) AS INT) AS n_refs,
+       CAST(list_sum(list_distinct([CAST(o_orderkey AS BIGINT), CAST(o_orderkey % 100 AS BIGINT)])) AS BIGINT) AS sum_refs
+FROM orders
+"""
+
+
+def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_DATE_TRUNC = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(k.alias("k")).groupBy("k").agg(F.count("*").alias("n"))
+
+
+ORACLE_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops with SQL oracles
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    out = DD.exact_dedup(docs.unionByName(dup))
+    return out.agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM unioned
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+ORACLE_TOKEN = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _stopword_sql(lang_words: list[str]) -> str:
+    terms = [
+        f"CAST((length(padded) - length(replace(padded, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in lang_words
+    ]
+    return " + ".join(terms)
+
+
+ORACLE_LANG = f"""
+WITH padded_docs AS (
+  SELECT lang, ' ' || lower(text) || ' ' AS padded FROM documents
+),
+scored AS (
+  SELECT lang,
+    {_stopword_sql(['the', 'and', 'of', 'a', 'to', 'in', 'is'])} AS s_en,
+    {_stopword_sql(['der', 'die', 'und', 'das', 'nicht', 'ist'])} AS s_de,
+    {_stopword_sql(['le', 'la', 'et', 'les', 'des', 'est'])} AS s_fr,
+    {_stopword_sql(['el', 'la', 'de', 'los', 'es', 'una'])} AS s_es
+  FROM padded_docs
+),
+best AS (
+  -- tie-break mirrors Spark's array_max over struct(score, lang):
+  -- highest score wins, ties go to the lexicographically LAST lang
+  -- (fr > es > en > de)
+  SELECT lang, CASE
+    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+    WHEN s_en >= s_de THEN 'en'
+    ELSE 'de' END AS lang_guess
+  FROM scored
+)
+SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n FROM best GROUP BY 1, 2
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = SIM.cosine_topk_bruteforce(queries, corpus, k=3)
+    return out.select("q_id", "c_id", "rank")
+
+
+ORACLE_COSINE = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+         row_number() OVER (
+            PARTITION BY q_id
+            ORDER BY list_cosine_similarity(qv, cv) DESC, c_id
+         ) AS rank
+  FROM q, c
+)
+SELECT q_id, c_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible engine operators)
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    sigs = DD.minhash_signatures(docs.select("doc_id", "text").unionByName(dup))
+    pairs = DD.minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    sims = DD.simhash(docs.select("doc_id", "text").unionByName(dup))
+    return DD.simhash_near_pairs(sims, max_hamming=3)
+
+
+def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(dup)
+    sigs = DD.minhash_signatures(all_docs)
+    pairs = DD.minhash_lsh_pairs(sigs, bands=16, threshold=0.5).select("id_a", "id_b")
+    return DD.ngram_jaccard(all_docs, pairs).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return DD.embedding_near_dup(
+        emb.select("vec_id", "embedding").unionByName(dup), threshold=0.99
+    ).select("id_a", "id_b")
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return SIM.cosine_topk_ivf(queries, corpus, k=3, n_centroids=16, nprobe=8).select(
+        "q_id", "c_id", "rank"
+    )
+
+
+def q_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q_rectify_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geometry_passes import rectify_and_simplify
+    from .sources.fixtures import GEOMETRY_POLYGON_T, building_geometries
+
+    df = spark.createDataFrame(
+        building_geometries(210), schema=f"ref string, geometry {GEOMETRY_POLYGON_T}"
+    )
+    out = rectify_and_simplify(df)
+    return out.select(
+        "ref",
+        "rectified",
+        "n_removed",
+        F.size(F.col("geometry")[0]).alias("n_outer_nodes"),
+    )
+
+
+def q_conflate_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.conflate import conflate
+    from .sources.fixtures import (
+        IMPORT_CONFLATE_SCHEMA,
+        OSM_CONFLATE_SCHEMA,
+        conflation_pdfs,
+    )
+
+    osm_pdf, import_pdf = conflation_pdfs(64)
+    osm = spark.createDataFrame(osm_pdf, schema=OSM_CONFLATE_SCHEMA)
+    imports = spark.createDataFrame(import_pdf, schema=IMPORT_CONFLATE_SCHEMA)
+    return conflate(osm, imports).select(
+        "osm_id", "ref", F.round("hausdorff_m", 4).alias("hausdorff_m"), "identical"
+    )
+
+
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.images import decode_features, verify_against_oracle
+    from .sources.fixtures import spark_images
+
+    df = spark_images(spark, 300)
+    feats = decode_features(df)
+    checks = verify_against_oracle(df)
+    return feats.join(checks, "image_id").select(
+        "image_id",
+        F.round("mean_r", 4).alias("mean_r"),
+        "phash_decoded",
+        "caption_ok",
+        "phash_ok",
+        (F.col("psnr_db") >= 40.0).alias("psnr_ok"),
+    )
+
+
+def q_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.fixtures import spark_images
+
+    df = spark_images(spark, 500)
+    sims = df.select(F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash"))
+    return DD.simhash_near_pairs(sims, max_hamming=8, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pip_grid": q_pip_grid,
+    "pip_triangle": q_pip_triangle,
+    "knn_nearest": q_knn_nearest,
+    "mutual_best": q_mutual_best,
+    "anti_join_refs": q_anti_join_refs,
+    "levels_pivot": q_levels_pivot,
+    "top_contributors": q_top_contributors,
+    "retag_rules": q_retag_rules,
+    "status_lookup": q_status_lookup,
+    "rollup_counts": q_rollup_counts,
+    "best_per_order": q_best_per_order,
+    "lag_gap": q_lag_gap,
+    "negative_ids": q_negative_ids,
+    "semi_join": q_semi_join,
+    "union_sources": q_union_sources,
+    "fix_url": q_fix_url,
+    "parse_ref": q_parse_ref,
+    "date_trunc": q_date_trunc,
+    "json_extract": q_json_extract,
+    "exact_dedup": q_exact_dedup,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "cosine_topk": q_cosine_topk,
+    # rows-only (non-SQL-expressible engine operators)
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard_verify": q_ngram_jaccard_verify,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ivf_topk": q_ivf_topk,
+    "quality_fingerprint": q_quality_fingerprint,
+    "rectify_simplify": q_rectify_simplify,
+    "conflate_fixture": q_conflate_fixture,
+    "image_pipeline": q_image_pipeline,
+    "image_phash_buckets": q_image_phash_buckets,
+}
+
+ORACLES = {
+    "pip_grid": ORACLE_PIP_GRID,
+    "pip_triangle": ORACLE_PIP_TRIANGLE,
+    "knn_nearest": ORACLE_KNN,
+    "mutual_best": ORACLE_MUTUAL_BEST,
+    "anti_join_refs": ORACLE_ANTI_JOIN,
+    "levels_pivot": ORACLE_LEVELS,
+    "top_contributors": ORACLE_TOP,
+    "retag_rules": ORACLE_RETAG,
+    "status_lookup": ORACLE_STATUS,
+    "rollup_counts": ORACLE_ROLLUP,
+    "best_per_order": ORACLE_BEST_PER_ORDER,
+    "lag_gap": ORACLE_LAG,
+    "negative_ids": ORACLE_NEGATIVE_IDS,
+    "semi_join": ORACLE_SEMI,
+    "union_sources": ORACLE_UNION,
+    "fix_url": ORACLE_FIX_URL,
+    "parse_ref": ORACLE_PARSE_REF,
+    "date_trunc": ORACLE_DATE_TRUNC,
+    "json_extract": ORACLE_JSON,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "token_stats": ORACLE_TOKEN,
+    "lang_id": ORACLE_LANG,
+    "cosine_topk": ORACLE_COSINE,
+}

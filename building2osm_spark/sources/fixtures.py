@@ -336,10 +336,11 @@ def buildings_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def subdivisions_pdf(nx: int = 4, ny: int = 4) -> pd.DataFrame:
+def subdivisions_pdf(nx: int = 4, ny: int = 4, plain: bool = False) -> pd.DataFrame:
     """Grid of adjacent districts tiling the fixture bbox (FIXTURES.md §5);
     district (1,1) carries a hole, district (0,0) is a 2-part MultiPolygon
-    carved out of its own rectangle."""
+    carved out of its own rectangle. plain=True: simple rectangles only
+    (used where an ANSI-SQL oracle must mirror the assignment)."""
     minlon, minlat, maxlon, maxlat = BBOX
     dx = (maxlon - minlon) / nx
     dy = (maxlat - minlat) / ny
@@ -350,7 +351,9 @@ def subdivisions_pdf(nx: int = 4, ny: int = 4) -> pd.DataFrame:
             y0, y1 = minlat + iy * dy, minlat + (iy + 1) * dy
             outer = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
             name = f"{ix}{iy:02d} District"
-            if ix == 1 and iy == 1:
+            if plain:
+                geometry = [[outer]]
+            elif ix == 1 and iy == 1:
                 hx0, hx1 = x0 + dx * 0.4, x0 + dx * 0.6
                 hy0, hy1 = y0 + dy * 0.4, y0 + dy * 0.6
                 hole = [[hx0, hy0], [hx1, hy0], [hx1, hy1], [hx0, hy1], [hx0, hy0]]
