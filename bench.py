@@ -1,0 +1,212 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "pip_tile_assign_rows_per_sec", "value": N, "unit": "rows/sec",
+   "queries": {name: seconds, ...}, "sf": ..., "scaling": {...}}
+
+The flagship metric is the BASELINE.json target: spatial-join +
+tile-assignment throughput (points assigned per second) over a synthetic
+image-location table (generated natively with spark.range + xxhash64 — no
+driver-side loop) against the district grid + building footprints.
+
+Scaling evidence (the two-cluster-size stand-in): with --scaling (the
+default) the flagship job re-runs in two fresh subprocesses at local[8]
+and local[32] on identical input; the JSON carries both throughputs and
+efficiency = (thr_32 / thr_8) / 4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BBOX = (10.60, 59.85, 11.00, 60.05)
+
+
+def synthetic_points(spark, n: int, hot_frac_pct: int = 20):
+    """Image-location table rows, generated JVM-side: ~hot_frac_pct% of
+    points concentrate in one ~500 m hot spot (Oslo-style skew)."""
+    u1 = (F.abs(F.xxhash64(F.col("id"))) % 1000000) / 1000000.0
+    u2 = (F.abs(F.xxhash64(F.col("id") + 1)) % 1000000) / 1000000.0
+    hot = (F.col("id") % 100) < hot_frac_pct
+    lon = F.when(hot, 10.75 + (u1 - 0.5) * 0.008).otherwise(
+        BBOX[0] + u1 * (BBOX[2] - BBOX[0])
+    )
+    lat = F.when(hot, 59.91 + (u2 - 0.5) * 0.004).otherwise(
+        BBOX[1] + u2 * (BBOX[3] - BBOX[1])
+    )
+    return spark.range(n).select(
+        F.col("id").alias("point_id"), lon.alias("lon"), lat.alias("lat")
+    )
+
+
+def flagship_pip(spark, n_points: int) -> int:
+    """PIP tile assignment: points → 4×4 district grid (broadcast cover
+    join + exact refine). Returns assigned row count."""
+    from building2osm_spark.operators.cover_join import assign_points_to_polygons
+    from building2osm_spark.sources.fixtures import (
+        SUBDIVISIONS_SCHEMA,
+        subdivisions_pdf,
+    )
+
+    subs = spark.createDataFrame(subdivisions_pdf(4, 4), schema=SUBDIVISIONS_SCHEMA)
+    pts = synthetic_points(spark, n_points)
+    assigned = assign_points_to_polygons(
+        pts,
+        subs.select(F.col("name").alias("poly_id"), "geometry"),
+        multipolygon=True,
+        broadcast=True,
+    )
+    return assigned.count()
+
+
+def building_assign(spark, n_points: int, n_buildings: int = 2000) -> int:
+    """Points → building footprints (the fine-grained tile overlay)."""
+    from building2osm_spark.operators.cover_join import assign_points_to_polygons
+    from building2osm_spark.sources.fixtures import (
+        GEOMETRY_POLYGON_T,
+        building_geometries,
+    )
+
+    polys = spark.createDataFrame(
+        building_geometries(n_buildings),
+        schema=f"ref string, geometry {GEOMETRY_POLYGON_T}",
+    ).select(F.col("ref").alias("poly_id"), "geometry")
+    pts = synthetic_points(spark, n_points)
+    assigned = assign_points_to_polygons(
+        pts, polys, multipolygon=False, broadcast=True, res=18
+    )
+    return assigned.count()
+
+
+def knn_bench(spark, n_points: int, n_targets: int) -> int:
+    from building2osm_spark.operators.knn import knn_join
+
+    u1 = (F.abs(F.xxhash64(F.col("id") + 7)) % 1000000) / 1000000.0
+    u2 = (F.abs(F.xxhash64(F.col("id") + 13)) % 1000000) / 1000000.0
+    tgts = spark.range(n_targets).select(
+        F.col("id").alias("target_id"),
+        (BBOX[0] + u1 * (BBOX[2] - BBOX[0])).alias("t_lon"),
+        (BBOX[1] + u2 * (BBOX[3] - BBOX[1])).alias("t_lat"),
+    )
+    pts = synthetic_points(spark, n_points)
+    return knn_join(pts, tgts, k=1, res=17, rounds=3).count()
+
+
+def run_single_job(job: str, cores: int, n: int) -> None:
+    """Subprocess entry: run one job on a fresh local[cores] session and
+    print {"seconds": s}."""
+    from building2osm_spark.session import get_spark
+
+    spark = get_spark(app=f"bench-{job}-{cores}", cores=cores)
+    flagship_pip(spark, 50_000)  # warm-up: JIT + Arrow + Python workers
+    t0 = time.time()
+    if job == "pip":
+        flagship_pip(spark, n)
+    elif job == "building":
+        building_assign(spark, n)
+    else:
+        raise ValueError(job)
+    print(json.dumps({"seconds": time.time() - t0}))
+    spark.stop()
+
+
+def run_scaling(n: int) -> dict:
+    out = {}
+    for cores in (8, 32):
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-job", "pip",
+             "--cores", str(cores), "--n", str(n)],
+            capture_output=True, text=True, env=env, timeout=1200,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        seconds = json.loads(line)["seconds"]
+        out[f"thr_{cores}"] = n / seconds
+        out[f"sec_{cores}"] = seconds
+    out["efficiency"] = (out["thr_32"] / out["thr_8"]) / 4.0
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--single-job")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--no-scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.single_job:
+        run_single_job(args.single_job, args.cores, args.n)
+        return
+
+    from building2osm_spark.session import get_spark
+    from building2osm_spark import driver_queries as DQ
+
+    spark = get_spark(app="bench", cores=args.cores)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm-up (discarded per BASELINE.md protocol)
+    flagship_pip(spark, 50_000)
+
+    n_flagship = 2_000_000
+    t0 = time.time()
+    n_assigned = flagship_pip(spark, n_flagship)
+    flagship_sec = time.time() - t0
+    timings["pip_tile_assign_2m"] = round(flagship_sec, 3)
+
+    timed("building_assign_500k", lambda: building_assign(spark, 500_000))
+    timed("knn_200k_x_10k", lambda: knn_bench(spark, 200_000, 10_000))
+    timed("conflate_fixture", lambda: DQ.q_conflate_fixture(spark, SF_DIR).count())
+    timed("minhash_near_dups", lambda: DQ.q_minhash_near_dups(spark, SF_DIR).count())
+    timed("cosine_topk", lambda: DQ.q_cosine_topk(spark, SF_DIR).count())
+    timed("best_per_order", lambda: DQ.q_best_per_order(spark, SF_DIR).count())
+    timed("lag_gap", lambda: DQ.q_lag_gap(spark, SF_DIR).count())
+    timed("rectify_simplify", lambda: DQ.q_rectify_simplify(spark, SF_DIR).count())
+    timed("image_decode_5k", lambda: __import__(
+        "building2osm_spark.functions.images", fromlist=["decode_features"]
+    ).decode_features(
+        __import__(
+            "building2osm_spark.sources.fixtures", fromlist=["spark_images"]
+        ).spark_images(spark, 5000)
+    ).count())
+
+    spark.stop()
+
+    result = {
+        "metric": "pip_tile_assign_rows_per_sec",
+        "value": round(n_flagship / flagship_sec, 1),
+        "unit": "rows/sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_points": n_flagship,
+        "n_assigned": n_assigned,
+    }
+    if not args.no_scaling:
+        result["scaling"] = {
+            k: round(v, 3) for k, v in run_scaling(1_000_000).items()
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

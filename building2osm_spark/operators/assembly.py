@@ -1,0 +1,188 @@
+"""OSM way → ring/polygon assembly (SURVEY.md J9).
+
+Re-implements the reference's ring stitching (municipality_split.py:270-313
+`connections`/`linear_rings_assembler`) and polygon assembly
+(`polygon_assembler`, :316-351) as pure kernels, plus the Spark wiring:
+relations/ways/nodes DataFrames → per-relation applyInPandas stitch (each
+relation's data is tiny; parallelism comes from the number of relations).
+
+Parity targets: tests/test_municipality_split.py:46-48 expects ring
+[1,2,3,4,5,6,7,9,1]; :51-61 the Polygon assembly with real coords.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stitch_rings(relation_ways: list[dict]) -> list[list[int]]:
+    """Order unordered (possibly reversed) ways into closed node-id rings.
+
+    Mirrors municipality_split.py:282-313: start from the first way, walk
+    shared end nodes (reversing a way when its tail matches), open a new
+    ring when the current one closes; raises when a ring cannot close.
+    """
+    if not relation_ways:
+        return []
+    ways = [dict(w, nodes=list(w["nodes"])) for w in relation_ways]
+    end_nodes: dict[int, set[int]] = {}
+    for w in ways:
+        for i in (0, -1):
+            end_nodes.setdefault(w["nodes"][i], set()).add(w["id"])
+
+    unused = {w["id"]: w for w in ways}
+    current = ways[0]
+    ring = [current["nodes"][0]]
+    rings = [ring]
+    for _ in range(len(ways)):
+        ring.extend(current["nodes"][1:])
+        last = ring[-1]
+        del unused[current["id"]]
+        if ring[0] != last:
+            candidates = end_nodes[last] - {current["id"]}
+            nxt = next(unused[w_id] for w_id in candidates if w_id in unused)
+            if nxt["nodes"][0] == last:
+                current = nxt
+            elif nxt["nodes"][-1] == last:
+                nxt["nodes"] = list(reversed(nxt["nodes"]))
+                current = nxt
+        elif unused:
+            current = next(iter(unused.values()))
+            ring = [current["nodes"][0]]
+            rings.append(ring)
+    if ring[0] != ring[-1]:
+        raise ValueError("invalid polygon - ring not closed")
+    return rings
+
+
+def assemble_polygon(members: list[dict], ways: dict[int, dict], nodes: dict[int, dict]) -> dict:
+    """Relation members → Polygon / MultiPolygon geometry dict.
+
+    Mirrors municipality_split.py:316-351 incl. its asymmetries: inner
+    rings only supported for single-outer polygons; multi-outer relations
+    become MultiPolygon with one ring each.
+    """
+    outer, inner = [], []
+    for m in members:
+        if m["type"] != "way":
+            continue
+        way = ways[m["ref"]]
+        role = m.get("role", "")
+        if role in ("", "outer"):
+            outer.append(way)
+        elif role == "inner":
+            inner.append(way)
+
+    coords = [
+        [(nodes[nid]["lon"], nodes[nid]["lat"]) for nid in ring]
+        for ring in stitch_rings(outer)
+    ]
+    if len(coords) > 1:
+        if inner:
+            raise NotImplementedError(
+                "multipolygon with inner ways not implemented (parity with "
+                "municipality_split.py:342)"
+            )
+        return {"type": "MultiPolygon", "coordinates": [[ring] for ring in coords]}
+    if inner:
+        coords.extend(
+            [(nodes[nid]["lon"], nodes[nid]["lat"]) for nid in ring]
+            for ring in stitch_rings(inner)
+        )
+    return {"type": "Polygon", "coordinates": coords}
+
+
+ASSEMBLED_SCHEMA = T.StructType(
+    [
+        T.StructField("relation_id", T.LongType()),
+        T.StructField("geom_type", T.StringType()),
+        T.StructField(
+            "geometry", T.ArrayType(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))))
+        ),  # MultiPolygon shape; Polygon wrapped as 1-element
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def assemble_relations(
+    relations: DataFrame, ways: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """Distributed assembly: relations(id, members array<struct<type,ref,
+    role>>), ways(id, nodes array<bigint>), osm nodes(id, lon, lat) →
+    (relation_id, geom_type, geometry[MultiPolygon-shaped], error).
+
+    Join shape: explode members → join ways (way rows) → explode way nodes
+    → join node coords → regroup per relation → stitch kernel. All data
+    movement is hash joins on ids; the per-relation kernel sees only its
+    own ways/nodes.
+    """
+    member_ways = (
+        relations.select(
+            F.col("id").alias("relation_id"),
+            F.posexplode("members").alias("member_pos", "m"),
+        )
+        .filter(F.col("m.type") == "way")
+        .select(
+            "relation_id",
+            F.col("m.ref").alias("way_id"),
+            F.col("m.role").alias("role"),
+            "member_pos",
+        )
+    )
+    with_nodes = member_ways.join(
+        ways.select(F.col("id").alias("way_id"), F.col("nodes").alias("node_ids")),
+        "way_id",
+    )
+    node_coords = (
+        with_nodes.select(
+            "relation_id", "way_id", "role", "member_pos",
+            F.posexplode("node_ids").alias("pos", "node_id"),
+        )
+        .join(nodes.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id")
+    )
+    regrouped = node_coords.groupBy("relation_id", "way_id", "role", "member_pos").agg(
+        F.sort_array(
+            F.collect_list(F.struct("pos", "node_id", "lon", "lat"))
+        ).alias("pts")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rid, grp in pdf.groupby("relation_id"):
+            grp = grp.sort_values("member_pos")
+            ways_d, members, nodes_d = {}, [], {}
+            for _, row in grp.iterrows():
+                node_ids = [int(p["node_id"]) for p in row["pts"]]
+                ways_d[int(row["way_id"])] = {"id": int(row["way_id"]), "nodes": node_ids}
+                members.append(
+                    {"type": "way", "ref": int(row["way_id"]), "role": row["role"] or ""}
+                )
+                for p in row["pts"]:
+                    nodes_d[int(p["node_id"])] = {"lon": p["lon"], "lat": p["lat"]}
+            try:
+                geom = assemble_polygon(members, ways_d, nodes_d)
+                if geom["type"] == "Polygon":
+                    coords = [[list(p) for p in ring] for ring in geom["coordinates"]]
+                    out.append((rid, "Polygon", [coords], None))
+                else:
+                    out.append(
+                        (
+                            rid,
+                            "MultiPolygon",
+                            [
+                                [[list(p) for p in ring] for ring in poly]
+                                for poly in geom["coordinates"]
+                            ],
+                            None,
+                        )
+                    )
+            except Exception as e:  # noqa: BLE001 — surface as data, don't kill the stage
+                out.append((rid, None, None, str(e)))
+        return pd.DataFrame(
+            out, columns=["relation_id", "geom_type", "geometry", "error"]
+        )
+
+    return regrouped.groupBy("relation_id").applyInPandas(kernel, ASSEMBLED_SCHEMA)

@@ -1,0 +1,108 @@
+"""Skew-aware spatial partition planning (SURVEY.md §4 X4).
+
+The reference's adaptive quadtree (building2osm.py:406-515: split a bbox
+when its expected feature count approaches the 10k page limit, along the
+longer axis, with a 0.95 safety factor) is a partition planner. Here the
+same idea is data: a per-cell density census drives (a) hot-cell children
+explosion — cells above the target split into their quadtree children,
+recursively, exactly the reference's force_divide; and (b) salted
+repartitioning so one hot cell (central Oslo) spreads over many tasks.
+AQE's skew-join splitting stays on as the second line of defence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import DEFAULT_CELL_RES, MAX_DOWNLOAD
+from ..functions.columns import cell_id_col
+
+SPLIT_FACTOR = 0.95  # building2osm.py:456-459,496 — split at ≥0.95 × target
+
+
+def cell_histogram(
+    points: DataFrame, lon: str = "lon", lat: str = "lat", res: int = DEFAULT_CELL_RES
+) -> DataFrame:
+    """(cell, n) density census at `res` — the J8 neighbour-count analog."""
+    return (
+        points.select(cell_id_col(F.col(lon), F.col(lat), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def adaptive_cells(
+    points: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    base_res: int = 12,
+    max_per_cell: int = MAX_DOWNLOAD,
+    max_levels: int = 6,
+) -> DataFrame:
+    """Assign every point a cell whose population ≤ 0.95·max_per_cell by
+    recursive hot-cell refinement: start at base_res; any cell at or above
+    the threshold re-censuses its points two resolutions deeper (4→16
+    children, the quadtree force_divide), up to max_levels rounds.
+
+    Returns (…point columns…, cell) — a mixed-resolution partitioning key
+    with bounded per-key row counts (up to the resolution floor).
+    """
+    target = int(max_per_cell * SPLIT_FACTOR)
+    pts = points.withColumn("cell", cell_id_col(F.col(lon), F.col(lat), base_res))
+    done_parts: list[DataFrame] = []
+    res = base_res
+    for _ in range(max_levels):
+        hist = pts.groupBy("cell").agg(F.count("*").alias("__n"))
+        hot = hist.filter(F.col("__n") >= target).select("cell")
+        cold = pts.join(F.broadcast(hot), "cell", "left_anti")
+        done_parts.append(cold)
+        hot_pts = pts.join(F.broadcast(hot), "cell", "left_semi")
+        if hot_pts.isEmpty():
+            break
+        res = min(res + 2, 26)
+        pts = hot_pts.drop("cell").withColumn(
+            "cell", cell_id_col(F.col(lon), F.col(lat), res)
+        )
+    else:
+        done_parts.append(pts)
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def salted_repartition(
+    df: DataFrame,
+    cell_col: str = "cell",
+    salt_buckets: int = 8,
+    hot_threshold: int = 100_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition by (cell, salt) where only hot cells (≥ hot_threshold
+    rows) receive a non-zero salt range — cold cells stay single-bucket so
+    downstream per-cell aggregation needs no extra merge for them."""
+    hist = df.groupBy(cell_col).agg(F.count("*").alias("__n"))
+    hot = hist.filter(F.col("__n") >= hot_threshold).select(cell_col)
+    salted = df.join(F.broadcast(hot.withColumn("__hot", F.lit(True))), cell_col, "left")
+    salted = salted.withColumn(
+        "salt",
+        F.when(
+            F.col("__hot").isNotNull(),
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+        ).otherwise(F.lit(0)),
+    ).drop("__hot")
+    # explicit partition count: AQE must not coalesce the spread away
+    n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return salted.repartition(n, F.col(cell_col), F.col("salt"))
+
+
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """(partition_id, n_rows) — the per-partition lineage/row-count metric
+    surface required by the north rule; cheap (one narrow agg)."""
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.col("__pid").alias("partition_id"), "n_rows")
+    )

@@ -1,0 +1,84 @@
+"""Canonical GeoJSON sink + source (SURVEY.md S6/S9).
+
+The reference writes one FeatureCollection per municipality with
+indent=2, ensure_ascii=False, temp keys dropped and UPPERCASE debug tags
+filtered unless flagged (building2osm.py:1276-1334). The engine's sink is
+a deterministic single-file writer over a collected DataFrame, ordered by
+ref (SURVEY.md O4) — output is inherently one document, so the collect is
+by design; Parquet/snapshots are the engine-internal format.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_geojson(
+    df: DataFrame,
+    path: str,
+    *,
+    ref_col: str = "ref",
+    geometry_col: str = "geometry",
+    tags_col: str | None = "tags",
+    geom_type: str = "Polygon",
+    keep_uppercase: bool = False,
+) -> int:
+    """Write a canonical FeatureCollection; returns the feature count.
+
+    Ordering: ascending ref. Coordinates are emitted as-is (rounding to 7
+    decimals happens upstream at the geometry boundary, matching
+    building2osm.py:621,1226). UPPERCASE tag keys (debug/verify) are
+    dropped unless keep_uppercase — building2osm.py:1306-1311.
+    """
+    cols = [ref_col, geometry_col] + ([tags_col] if tags_col else [])
+    rows = df.select(*cols).orderBy(ref_col).collect()
+    features = []
+    for r in rows:
+        props = {}
+        if tags_col:
+            for k, v in (r[tags_col] or {}).items():
+                if keep_uppercase or not k.isupper():
+                    props[k] = v
+        props.setdefault("ref:bygningsnr", r[ref_col])
+        features.append(
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": geom_type,
+                    "coordinates": r[geometry_col],
+                },
+                "properties": props,
+            }
+        )
+    collection = {"type": "FeatureCollection", "features": features}
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(collection, f, indent=2, ensure_ascii=False)
+    return len(features)
+
+
+def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+    """FeatureCollection → DataFrame(ref, geometry, geom_type, tags) —
+    the S6 import-file scan (building_merge.py:322-380 input shape)."""
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    rows = []
+    for feat in data["features"]:
+        props = feat.get("properties", {}) or {}
+        rows.append(
+            (
+                props.get("ref:bygningsnr"),
+                feat["geometry"]["coordinates"],
+                feat["geometry"]["type"],
+                {str(k): str(v) for k, v in props.items()},
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "ref string, geometry array<array<array<double>>>, "
+            "geom_type string, tags map<string,string>"
+        ),
+    )

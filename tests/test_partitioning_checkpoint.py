@@ -1,0 +1,109 @@
+"""Skew planning + snapshot checkpoint/resume tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from building2osm_spark.operators.partitioning import (
+    adaptive_cells,
+    cell_histogram,
+    partition_metrics,
+    salted_repartition,
+)
+from building2osm_spark.sources.checkpoint import SnapshotStore
+from building2osm_spark.sources import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def skewed_points(spark):
+    # 5000 points, 60% in the hot cell
+    return spark.createDataFrame(
+        FX.images_pdf(5000, hot_frac=0.6, with_loc=True)[["image_id", "lon", "lat"]]
+    ).cache()
+
+
+def test_cell_histogram_sees_skew(spark, skewed_points):
+    hist = cell_histogram(skewed_points, res=12).collect()
+    counts = sorted((r["n"] for r in hist), reverse=True)
+    assert counts[0] > 0.4 * 5000  # one dominant cell
+
+
+def test_adaptive_cells_bounds_population(spark, skewed_points):
+    out = adaptive_cells(skewed_points, base_res=12, max_per_cell=500)
+    per_cell = out.groupBy("cell").count().collect()
+    assert out.count() == 5000  # nothing lost
+    # the hot region refines: many more cells than the base census
+    base_cells = cell_histogram(skewed_points, res=12).count()
+    assert len(per_cell) > base_cells
+    # every refined cell is under the target except resolution-floor cases
+    over = [r for r in per_cell if r["count"] >= 500 * 0.95]
+    assert len(over) <= 1
+
+
+def test_salted_repartition_spreads_hot_cell(spark, skewed_points):
+    with_cell = skewed_points.withColumn(
+        "cell",
+        F.lit(0),  # everything in ONE cell — worst case
+    )
+    out = salted_repartition(with_cell, salt_buckets=8, hot_threshold=1000)
+    m = partition_metrics(out).collect()
+    nonempty = [r for r in m if r["n_rows"] > 0]
+    assert len(nonempty) >= 4  # spread across several partitions
+    assert max(r["n_rows"] for r in nonempty) < 5000
+
+
+def test_snapshot_commit_and_resume(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "snap"))
+    df1 = spark.range(100).select(F.col("id").alias("ref"), (F.col("id") * 2).alias("v"))
+    sid1, n1 = store.incremental_commit(df1, "stage_a", "ref", params={"p": 1})
+    assert n1 == 100
+
+    # re-run with overlap: only new keys count as new
+    df2 = spark.range(50, 150).select(
+        F.col("id").alias("ref"), (F.col("id") * 2).alias("v")
+    )
+    sid2, n2 = store.incremental_commit(df2, "stage_a", "ref", params={"p": 1})
+    assert n2 == 50
+    final = store.read(spark, "stage_a")
+    assert final.count() == 150
+    assert final.select("ref").distinct().count() == 150
+
+    # manifest carries lineage + per-partition rows
+    m = store.manifest("stage_a")
+    assert m["inputs"] == [sid1]
+    assert m["row_count"] == 150
+    assert sum(p["rows"] for p in m["partitions"]) == 150
+
+    # changed params → full recompute (no resume filtering)
+    df3 = spark.range(10).select(F.col("id").alias("ref"), F.lit(0).alias("v"))
+    filtered = store.resume_filter(spark, df3, "stage_a", "ref", params={"p": 2})
+    assert filtered.count() == 10  # params differ → nothing filtered
+
+
+def test_geojson_roundtrip(spark, tmp_path):
+    from building2osm_spark.sources.geojson import read_geojson, write_geojson
+
+    df = spark.createDataFrame(
+        [
+            ("2", [[[10.0, 59.0], [10.1, 59.0], [10.1, 59.1], [10.0, 59.0]]],
+             {"building": "house", "DEBUG_X": "1"}),
+            ("1", [[[11.0, 59.0], [11.1, 59.0], [11.1, 59.1], [11.0, 59.0]]],
+             {"building": "barn"}),
+        ],
+        schema="ref string, geometry array<array<array<double>>>, tags map<string,string>",
+    )
+    path = str(tmp_path / "out.geojson")
+    n = write_geojson(df, path)
+    assert n == 2
+    data = json.load(open(path))
+    # ordered by ref; uppercase keys dropped
+    assert [f["properties"]["ref:bygningsnr"] for f in data["features"]] == ["1", "2"]
+    assert "DEBUG_X" not in data["features"][1]["properties"]
+
+    back = read_geojson(spark, path)
+    assert back.count() == 2
+    assert set(back.columns) == {"ref", "geometry", "geom_type", "tags"}
