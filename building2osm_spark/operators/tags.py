@@ -1,0 +1,66 @@
+"""Tag-map operations (SURVEY.md G3 tail, P3, P7, F19).
+
+The conflation tag merge reproduces add_building (building_merge.py:
+552-585): on a matched pair, the OSM way keeps its tags minus
+building:type/source/source:date, the import properties overwrite on
+conflict, and a suppressed-category conflict flag OSM_BUILDING records
+the old building=* value when the two disagree across the
+similar-building categories (building_merge.py:34-38,564-573).
+
+All map surgery is native (map_filter/map_concat/map_contains_key);
+map_concat runs under LAST_WIN dedup (set in session.py) so import
+properties win, matching dict.update semantics at building_merge.py:580.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..constants import SIMILAR_BUILDINGS
+
+_DROPPED_KEYS = ("building:type", "source", "source:date")  # building_merge.py:575
+
+
+def _in_category(value: Column, category: list[str]) -> Column:
+    return value.isin(*category)
+
+
+def merged_tags(osm_tags: Column, import_props: Column) -> Column:
+    """New tag map for a matched building (add_building semantics)."""
+    kept = F.map_filter(osm_tags, lambda k, _: ~k.isin(*_DROPPED_KEYS))
+
+    osm_b = osm_tags["building"]
+    imp_b = import_props["building"]
+    same_category = F.lit(False)
+    for cat in SIMILAR_BUILDINGS.values():
+        same_category = same_category | (
+            _in_category(osm_b, cat) & _in_category(imp_b, cat)
+        )
+    conflict = (
+        osm_b.isNotNull()
+        & (osm_b != "yes")
+        & (osm_b != imp_b)
+        & ~same_category
+    )
+    flagged = F.when(
+        conflict,
+        F.map_concat(kept, F.create_map(F.lit("OSM_BUILDING"), osm_b)),
+    ).otherwise(kept)
+    return F.map_concat(flagged, import_props)  # import wins (LAST_WIN)
+
+
+def tagged_flag(tags: Column) -> Column:
+    """P7 — any tag beyond building/source/addr:* (building_merge.py:444-448)."""
+    return F.exists(
+        F.map_keys(tags),
+        lambda k: (k != "building") & (k != "source") & ~k.contains("addr:"),
+    )
+
+
+def drop_debug_tags(tags: Column, keep_uppercase: bool = False) -> Column:
+    """P3 — strip UPPERCASE debug/verify keys unless flagged
+    (building2osm.py:1306-1311)."""
+    if keep_uppercase:
+        return tags
+    return F.map_filter(tags, lambda k, _: k != F.upper(k))

@@ -1,0 +1,124 @@
+"""End-to-end pipelines (SURVEY.md §3, G4 + the north-star flow).
+
+assignment_pipeline: the municipality_split job re-expressed at image
+scale — an images table (input_hint shape, location derived from
+image_id) is PIP-assigned to district polygons (cover join), unassigned
+points fall back to kNN nearest building, per-stage metrics are recorded,
+and results are committed as a resumable snapshot.
+
+municipality_pipeline: the building2osm per-municipality flow — enrich
+footprints with type tags (J6), rectify+simplify (G1/G2), round + WKB at
+the output boundary.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.cover_join import assign_points_to_polygons
+from ..operators.geometry_passes import rectify_and_simplify
+from ..operators.knn import knn_join
+from ..sources.checkpoint import SnapshotStore
+from ..sources.dims import building_types, enrich_building_tags
+from ..sources.fixtures import image_location
+
+
+def with_location(images: DataFrame, hot_frac: float = 0.0) -> DataFrame:
+    """Attach the derived (lon, lat) to an images table (FIXTURES.md §1:
+    the table is keyed by location; loc(image_id) is a pure function).
+    Arrow-batched — the bytes column is not touched."""
+
+    @F.pandas_udf(
+        T.StructType(
+            [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
+        )
+    )
+    def loc_udf(image_id: pd.Series) -> pd.DataFrame:
+        pts = [image_location(i, hot_frac) for i in image_id]
+        return pd.DataFrame({"lon": [p[0] for p in pts], "lat": [p[1] for p in pts]})
+
+    return images.withColumn("__loc", loc_udf(F.col("image_id"))).select(
+        "*", F.col("__loc.lon").alias("lon"), F.col("__loc.lat").alias("lat")
+    ).drop("__loc")
+
+
+def assignment_pipeline(
+    images: DataFrame,
+    subdivisions: DataFrame,
+    buildings_centroids: DataFrame | None = None,
+    *,
+    store: SnapshotStore | None = None,
+    hot_frac: float = 0.0,
+) -> dict:
+    """images(input_hint shape) × subdivisions(name, geometry MultiPolygon)
+    [× buildings(ref, c_lon, c_lat)] → {assigned, fallback, metrics}.
+
+    assigned: (image_id, district) rows; fallback: (image_id,
+    nearest_ref, dist_m) for images outside every district. When `store`
+    is given the assignment commits as a resumable snapshot keyed by
+    image_id.
+    """
+    located = with_location(
+        images.select("image_id", "caption", "phash"), hot_frac
+    )
+    assigned = assign_points_to_polygons(
+        located.select("image_id", "lon", "lat"),
+        subdivisions.select(F.col("name").alias("district"), "geometry"),
+        poly_id="district",
+        multipolygon=True,
+        broadcast=True,
+        keep_unassigned=True,
+    )
+    inside = assigned.filter(F.col("district").isNotNull())
+    leftovers = assigned.filter(F.col("district").isNull()).drop("district")
+
+    fallback = None
+    if buildings_centroids is not None:
+        fallback = knn_join(
+            leftovers,
+            buildings_centroids.select(
+                F.col("ref").alias("target_id"), F.col("c_lon").alias("t_lon"),
+                F.col("c_lat").alias("t_lat"),
+            ),
+            k=1,
+            point_id="image_id",
+        ).select(
+            "image_id", F.col("target_id").alias("nearest_ref"), "dist_m"
+        )
+
+    metrics = {
+        "n_images": images.count(),
+        "n_assigned": inside.count(),
+        "n_fallback": fallback.count() if fallback is not None else 0,
+        "per_district": {
+            r["district"]: r["n"]
+            for r in inside.groupBy("district").agg(F.count("*").alias("n")).collect()
+        },
+    }
+    if store is not None:
+        sid, n_new = store.incremental_commit(
+            inside.select("image_id", "district"), "assignment", "image_id"
+        )
+        metrics["snapshot_id"] = sid
+        metrics["n_new_committed"] = n_new
+    return {"assigned": inside, "fallback": fallback, "metrics": metrics}
+
+
+def municipality_pipeline(spark: SparkSession, buildings: DataFrame) -> DataFrame:
+    """buildings(ref, geometry, building_type, …) → enriched + rectified +
+    simplified + WKB output rows (the building2osm.py:1338-1363 flow)."""
+    from ..functions.udfs import round7_geometry_udf, wkb_udf
+
+    types = building_types(spark)
+    enriched = enrich_building_tags(buildings, types)
+    passes = rectify_and_simplify(enriched.select("ref", "geometry"))
+    out = (
+        enriched.drop("geometry")
+        .join(passes, "ref")
+        .withColumn("geometry", round7_geometry_udf(F.col("geometry")))
+        .withColumn("wkb", wkb_udf(F.col("geometry")))
+    )
+    return out.orderBy("ref")

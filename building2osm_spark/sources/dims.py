@@ -1,0 +1,113 @@
+"""Small dimension sources: building types, municipalities (S1/S2, J6/J11).
+
+Both are broadcast-dim tables. The building-type tag parse reproduces
+building2osm.py:330-349: osm_tag text "k=v + k=v" → map, spaces stripped,
+default {'building': 'yes'} always present (explicit tags override it).
+The municipality resolver reproduces get_municipality
+(building2osm.py:358-379): digits pass through; exact case-insensitive
+name match wins; else a UNIQUE substring match; else the input itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# synthetic subset of building_types.csv (same shape: id;name;osm_tag,
+# covering every tag the retag rules P4 touch)
+BUILDING_TYPES_ROWS = [
+    ("111", "Enebolig", "building=house"),
+    ("112", "Enebolig m/hybel", "building=house"),
+    ("113", "Våningshus", "building=farm"),
+    ("121", "Tomannsbolig", "building=semidetached_house"),
+    ("142", "Stort frittliggende boligbygg", "building=apartments"),
+    ("161", "Fritidsbygg", "building=cabin"),
+    ("181", "Garasje i boligeiendom", "building=garage"),
+    ("231", "Verkstedbygning", "building=industrial"),
+    ("241", "Driftsbygning", "building=barn"),
+    ("311", "Kontorbygning", "building=office"),
+    ("412", "Hotellbygning", "building=hotel"),
+    ("511", "Skolebygning", "building=school"),
+    ("612", "Museumsbygning", "building=museum + tourism=museum"),
+    ("671", "Forsamlingshus", "building=civic"),
+    ("672", "Kirke", "building=church + amenity=place_of_worship"),
+    ("673", "Bedehus", "building=religious"),
+    ("819", "Landbruksbygg", "building=barracks"),
+    ("999", "Ukjent", ""),
+]
+
+
+def building_types(spark: SparkSession) -> DataFrame:
+    """(type_id, name, tags map) — always broadcast-joined (J6)."""
+    df = spark.createDataFrame(
+        BUILDING_TYPES_ROWS, schema="type_id string, name string, osm_tag string"
+    )
+    cleaned = F.regexp_replace(F.col("osm_tag"), " ", "")
+    pairs = F.filter(F.split(cleaned, r"\+"), lambda p: p != "")
+    parsed = F.map_from_entries(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                F.split(p, "=")[0].alias("key"), F.split(p, "=")[1].alias("value")
+            ),
+        )
+    )
+    base = F.create_map(F.lit("building"), F.lit("yes"))
+    tags = F.when(F.size(pairs) > 0, F.map_concat(base, parsed)).otherwise(base)
+    return df.select("type_id", "name", tags.alias("tags"))
+
+
+def enrich_building_tags(
+    buildings: DataFrame, types: DataFrame, type_col: str = "building_type"
+) -> DataFrame:
+    """J6: broadcast type lookup; unknown codes keep NULL tags (the
+    reference reports them, building2osm.py:681)."""
+    return buildings.join(
+        F.broadcast(types.withColumnRenamed("type_id", type_col)),
+        type_col,
+        "left",
+    )
+
+
+# -- municipalities ---------------------------------------------------------
+
+MUNICIPALITIES_ROWS = [
+    ("03", "Oslo fylke"),
+    ("0301", "Oslo"),
+    ("11", "Rogaland"),
+    ("1103", "Stavanger"),
+    ("30", "Viken"),
+    ("3005", "Drammen"),
+    ("3024", "Bærum"),
+    ("46", "Vestland"),
+    ("4601", "Bergen"),
+    ("50", "Trøndelag"),
+    ("5001", "Trondheim"),
+    ("2100", "Svalbard"),
+    ("00", "Norge"),
+]
+
+
+def municipalities(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(MUNICIPALITIES_ROWS, schema="mun_id string, name string")
+
+
+def resolve_municipality(munis: DataFrame, parameter: str) -> str:
+    """get_municipality parity (building2osm.py:358-379). Driver-side by
+    design: it resolves a CLI argument, not row data."""
+    if parameter.isdigit():
+        return parameter
+    rows = munis.select("mun_id", "name").collect()
+    low = parameter.lower()
+    found = ""
+    duplicate = False
+    for r in rows:
+        name = r["name"].lower()
+        if low == name:
+            return r["mun_id"]
+        if low in name:
+            if found:
+                duplicate = True
+            else:
+                found = r["mun_id"]
+    return found if found and not duplicate else parameter

@@ -1,0 +1,84 @@
+"""OSM XML sink (SURVEY.md S10) — single-document writer.
+
+Reproduces building_merge.py:754-855's output shape: <osm> root with
+nodes, then ways, then relations; tags as <tag k v/>; way node refs as
+<nd ref/>; relation members as <member/>; version/user/timestamp attrs
+passed through; action="modify"/"delete" attributes for the upload flow.
+
+The output is inherently ONE document, so this is a driver-side writer
+over collected DataFrames — the distributed part of the pipeline ends at
+the DataFrames handed in (engine-internal persistence is Parquet/
+snapshots). Deterministic: elements ordered by id descending within kind
+(new negative ids first, like the reference's append order reversed to a
+canonical sort).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame
+
+
+def _set_common_attrs(el: ET.Element, row, keys=("version", "user", "uid", "timestamp", "changeset")):
+    for k in keys:
+        if k in row.__fields__ and row[k] is not None:
+            el.set(k, str(row[k]))
+    if "action" in row.__fields__ and row["action"] is not None:
+        el.set("action", row["action"])
+
+
+def _add_tags(el: ET.Element, tags) -> None:
+    for k, v in sorted((tags or {}).items()):
+        ET.SubElement(el, "tag", k=str(k), v=str(v))
+
+
+def write_osm_xml(
+    path: str,
+    nodes: DataFrame,
+    ways: DataFrame | None = None,
+    relations: DataFrame | None = None,
+    generator: str = "building2osm_spark",
+) -> int:
+    """Write an OSM change-style XML document; returns element count.
+
+    nodes:     (id, lat, lon, tags map, [version user uid timestamp
+               changeset action])
+    ways:      (id, nodes array<bigint>, tags map, [attrs…])
+    relations: (id, members array<struct<type,ref,role>>, tags map, [attrs…])
+    """
+    root = ET.Element("osm", version="0.6", generator=generator, upload="false")
+    count = 0
+
+    for row in sorted(nodes.collect(), key=lambda r: r["id"]):
+        el = ET.SubElement(
+            root, "node", id=str(row["id"]), lat=str(row["lat"]), lon=str(row["lon"])
+        )
+        _set_common_attrs(el, row)
+        _add_tags(el, row["tags"] if "tags" in row.__fields__ else None)
+        count += 1
+
+    if ways is not None:
+        for row in sorted(ways.collect(), key=lambda r: r["id"]):
+            el = ET.SubElement(root, "way", id=str(row["id"]))
+            _set_common_attrs(el, row)
+            for ref in row["nodes"]:
+                ET.SubElement(el, "nd", ref=str(ref))
+            _add_tags(el, row["tags"] if "tags" in row.__fields__ else None)
+            count += 1
+
+    if relations is not None:
+        for row in sorted(relations.collect(), key=lambda r: r["id"]):
+            el = ET.SubElement(root, "relation", id=str(row["id"]))
+            _set_common_attrs(el, row)
+            for m in row["members"]:
+                ET.SubElement(
+                    el, "member", type=m["type"], ref=str(m["ref"]), role=m["role"] or ""
+                )
+            _add_tags(el, row["tags"] if "tags" in row.__fields__ else None)
+            count += 1
+
+    tree = ET.ElementTree(root)
+    ET.indent(tree)
+    tree.write(path, encoding="utf-8", xml_declaration=True)
+    return count

@@ -1,0 +1,74 @@
+"""Incremental / resumable runs (SURVEY.md §2.10).
+
+The reference is strictly batch; its one streaming-adjacent contract is
+idempotent re-runs — merging only buildings whose ref:bygningsnr is new
+(README.md:85, building_merge.py:659-674). Two engine surfaces implement
+it:
+
+  * batch increments over SnapshotStore (sources/checkpoint.py) — the
+    default, mirrored from the reference's semantics;
+  * Structured Streaming with Trigger.AvailableNow + foreachBatch below —
+    the optional extension for directory-fed pipelines: each micro-batch
+    runs the SAME anti-join + commit path, so batch and streaming share
+    one code path and one idempotence contract. No event-time windows or
+    watermarks are invented — the reference has none (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.checkpoint import SnapshotStore
+
+
+def incremental_foreach_batch(
+    store: SnapshotStore,
+    stage: str,
+    key_col: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    params: dict | None = None,
+):
+    """foreachBatch body: anti-join committed keys, apply the stage
+    transform to NEW rows only, commit the union as the next snapshot."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = transform(batch_df) if transform is not None else batch_df
+        store.incremental_commit(out, stage, key_col, params=params)
+
+    return body
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    store: SnapshotStore,
+    stage: str,
+    key_col: str,
+    *,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Drain all currently-available files from input_dir through the
+    incremental path and stop (Trigger.AvailableNow): the streaming
+    spelling of a resumable batch increment. Spark's checkpoint tracks
+    consumed files; the SnapshotStore tracks committed keys — a crashed
+    run resumes at both levels without double-commits (keys are
+    anti-joined again on replay)."""
+    stream = (
+        spark.readStream.format(fmt).schema(schema).load(input_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(
+            incremental_foreach_batch(store, stage, key_col, transform)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
