@@ -158,6 +158,7 @@ def assign_points_to_polygons(
         assigned = with_geom.mapInPandas(refine_shuffled, schema=out_schema)
 
     if keep_unassigned:
+        assigned = assigned.persist()  # read twice: result + leftover anti-join
         point_cols = [c for c in points.columns]
         leftovers = points.join(
             assigned.select(*point_cols).distinct(), point_cols, "left_anti"

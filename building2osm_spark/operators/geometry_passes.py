@@ -56,26 +56,29 @@ def _explode_vertices(df: DataFrame, include_closing: bool) -> DataFrame:
 def connected_components(df: DataFrame, max_iter: int = 6) -> DataFrame:
     """(ref, component) via min-label propagation across shared vertices.
     Component id = lexicographically smallest member ref."""
-    verts = _explode_vertices(df, include_closing=False).distinct()
-    verts.persist()
-    labels = df.select("ref").withColumn("component", F.col("ref"))
+    verts = _explode_vertices(df, include_closing=False).distinct().persist()
+    labels = df.select("ref").withColumn("component", F.col("ref")).persist()
     for _ in range(max_iter):
         vertex_label = (
             verts.join(labels, "ref")
             .groupBy("vlon", "vlat")
             .agg(F.min("component").alias("vlabel"))
         )
+        # persist each generation: the convergence check and the next
+        # round both read it; without this, lineage re-executes all
+        # previous rounds per action
         new_labels = (
             verts.join(vertex_label, ["vlon", "vlat"])
             .groupBy("ref")
             .agg(F.min("vlabel").alias("component"))
-        )
+        ).persist()
         changed = (
             labels.alias("a")
             .join(new_labels.alias("b"), "ref")
             .filter(F.col("a.component") != F.col("b.component"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -157,6 +160,11 @@ _REMOVE_SCHEMA = T.StructType(
 
 def simplify(rectified_df: DataFrame) -> DataFrame:
     """Apply the simplify pass to the rectify output."""
+    # the rectify output feeds five consumers below (census, marks, the
+    # rectify-removed set, the per-building removable join, and the final
+    # removal kernel) — persist it or the grouped rectify kernels re-run
+    # once per consumer
+    rectified_df = rectified_df.persist()
     census = (
         _explode_vertices(rectified_df, include_closing=True)
         .groupBy("vlon", "vlat")

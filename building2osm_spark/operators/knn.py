@@ -79,8 +79,9 @@ def knn_join(
         F.col(target_id), F.col(target_lon), F.col(target_lat)
     )
 
-    remaining = points.select(point_id, lon, lat)
+    remaining = points.select(point_id, lon, lat).persist()
     resolved_parts: list[DataFrame] = []
+    n_remaining = -1  # unknown; first round always runs
 
     for i in range(rounds):
         join_res = max(res - 2 * i, 4)
@@ -101,11 +102,14 @@ def knn_join(
             )
         )
         w = Window.partitionBy(point_id).orderBy(F.col("dist_m"), F.col(target_id))
+        # persist the round's top-k: it feeds the resolve test, the
+        # resolved output AND the next round's remainder — without the
+        # persist each consumer would recompute the candidate join
         topk = (
             cand.withColumn("knn_rank", F.row_number().over(w))
             .filter(F.col("knn_rank") <= k)
             .drop("__cell", target_lon, target_lat)
-        )
+        ).persist()
         stats = topk.groupBy(point_id).agg(
             F.count("*").alias("__cnt"), F.max("dist_m").alias("__kth")
         )
@@ -117,24 +121,26 @@ def knn_join(
         resolved_parts.append(topk.join(done_ids, point_id, "left_semi"))
         remaining = judged.filter(
             F.col("__ok").isNull() | ~F.col("__ok")
-        ).select(point_id, lon, lat)
-        if join_res == 4:
+        ).select(point_id, lon, lat).persist()
+        n_remaining = remaining.count()  # materializes this round once
+        if n_remaining == 0 or join_res == 4:
             break
 
-    # stragglers: broadcast the tiny remainder against the full target scan
-    w = Window.partitionBy(point_id).orderBy(F.col("dist_m"), F.col(target_id))
-    last = (
-        F.broadcast(remaining)
-        .join(tgt)
-        .withColumn(
-            "dist_m",
-            distance_m_col(F.col(lon), F.col(lat), F.col(target_lon), F.col(target_lat)),
+    if n_remaining != 0:
+        # stragglers: broadcast the tiny remainder against the full target scan
+        w = Window.partitionBy(point_id).orderBy(F.col("dist_m"), F.col(target_id))
+        last = (
+            F.broadcast(remaining)
+            .join(tgt)
+            .withColumn(
+                "dist_m",
+                distance_m_col(F.col(lon), F.col(lat), F.col(target_lon), F.col(target_lat)),
+            )
+            .withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k)
+            .drop(target_lon, target_lat)
         )
-        .withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .drop(target_lon, target_lat)
-    )
-    resolved_parts.append(last)
+        resolved_parts.append(last)
 
     out = resolved_parts[0]
     for part in resolved_parts[1:]:
