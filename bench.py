@@ -102,7 +102,7 @@ def knn_bench(spark, n_points: int, n_targets: int) -> int:
         (BBOX[1] + u2 * (BBOX[3] - BBOX[1])).alias("t_lat"),
     )
     pts = synthetic_points(spark, n_points)
-    return knn_join(pts, tgts, k=1, res=17, rounds=3).count()
+    return knn_join(pts, tgts, k=1, rounds=3).count()
 
 
 def run_single_job(job: str, cores: int, n: int) -> None:

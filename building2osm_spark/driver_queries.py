@@ -226,17 +226,18 @@ def q_anti_join_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").cast("string").alias("ref_value"))
         .distinct()
     )
-    refs = F.concat_ws(";", F.col("l_orderkey").cast("string"), F.col("l_partkey").cast("string"))
-    tagged = li.withColumn("__refs", refs).withColumn(
-        "__rid", F.monotonically_increasing_id()
+    # per-row multi-valued anti-join: a row is dropped when ANY of its
+    # ';'-refs hits the banned set (filter_buildings.py semantics) —
+    # expressed as one anti-join per ref slot (rows here carry exactly two)
+    kept = li.join(
+        F.broadcast(banned.withColumnRenamed("ref_value", "__b")),
+        F.col("l_orderkey").cast("string") == F.col("__b"),
+        "left_anti",
+    ).join(
+        F.broadcast(banned.withColumnRenamed("ref_value", "__b")),
+        F.col("l_partkey").cast("string") == F.col("__b"),
+        "left_anti",
     )
-    hit = (
-        tagged.select("__rid", F.explode(F.split("__refs", ";")).alias("ref_value"))
-        .join(F.broadcast(banned), "ref_value")
-        .select("__rid")
-        .distinct()
-    )
-    kept = tagged.join(hit, "__rid", "left_anti")
     return kept.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"), F.sum("l_quantity").alias("sum_qty")
     )

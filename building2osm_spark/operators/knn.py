@@ -69,15 +69,36 @@ def knn_join(
     target_id: str = "target_id",
     target_lon: str = "t_lon",
     target_lat: str = "t_lat",
-    res: int = DEFAULT_CELL_RES,
+    res: int | None = None,
     rounds: int = 4,
 ) -> DataFrame:
     """(point columns…, target_id, dist_m, knn_rank) — exact k nearest
     targets per point under the reference's equirectangular metric
-    (building2osm.py:105-110), deterministic ties by target_id."""
+    (building2osm.py:105-110), deterministic ties by target_id.
+
+    res=None picks the starting resolution from target density: the
+    coarsest grid whose 3×3 blocks hold ≈ 2·(k+2) targets on average, so
+    round 1 resolves the bulk instead of finding empty cells (a too-fine
+    start wastes a whole candidate join + window on the full point set).
+    """
     tgt = targets.select(
         F.col(target_id), F.col(target_lon), F.col(target_lat)
     )
+    if res is None:
+        stats = tgt.agg(
+            F.count("*").alias("n"),
+            F.min(target_lon).alias("lo1"), F.max(target_lon).alias("hi1"),
+            F.min(target_lat).alias("lo2"), F.max(target_lat).alias("hi2"),
+        ).first()
+        dlon = max(float(stats["hi1"] - stats["lo1"]), 1e-9)
+        dlat = max(float(stats["hi2"] - stats["lo2"]), 1e-9)
+        want_per_block = 2.0 * (k + 2)
+        res = 4
+        for r in range(DEFAULT_CELL_RES + 6, 3, -1):
+            cells = (dlon / 360.0 * (1 << r)) * (dlat / 180.0 * (1 << r))
+            if cells >= 1 and stats["n"] * 9.0 / cells >= want_per_block:
+                res = r
+                break
 
     remaining = points.select(point_id, lon, lat).persist()
     resolved_parts: list[DataFrame] = []

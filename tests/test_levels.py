@@ -1,0 +1,27 @@
+"""Levels aggregation (A1/P8) over the dwellings fixture."""
+
+from __future__ import annotations
+
+from building2osm_spark.operators.levels import building_levels
+
+
+def test_building_levels(spark):
+    dwellings = spark.createDataFrame(
+        [
+            ("d1", "H0203"), ("d2", "H0301"), ("d3", "U0102"),   # b1: H=3,U=1 → 4
+            ("d4", "H0101"),                                      # b2: H=1 → no tag
+            ("d5", "L0201"), ("d6", "H0201"),                     # b3: L=2 roof, H=2 → 2
+            ("d7", "K0101"),                                      # b4: K only → nothing
+        ],
+        schema="bruksenhetId string, bruksenhetsnummerTekst string",
+    )
+    link = spark.createDataFrame(
+        [("b1", "d1"), ("b1", "d2"), ("b1", "d3"), ("b2", "d4"),
+         ("b3", "d5"), ("b3", "d6"), ("b4", "d7")],
+        schema="ref string, bruksenhetId string",
+    )
+    rows = {r["ref"]: r for r in building_levels(dwellings, link).collect()}
+    assert rows["b1"]["building_levels"] == 4 and rows["b1"]["roof_levels"] is None
+    assert rows["b2"]["building_levels"] is None  # H+U = 1, not > 1
+    assert rows["b3"]["building_levels"] == 2 and rows["b3"]["roof_levels"] == 2
+    assert rows["b4"]["building_levels"] is None and rows["b4"]["roof_levels"] is None
