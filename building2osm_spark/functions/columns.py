@@ -59,8 +59,11 @@ def fix_url_col(col: Column) -> Column:
 
 def format_decimal_col(col: Column) -> Column:
     """'%.1f' then strip trailing 0 and '.' — building2osm.py:92-98.
-    NULL/0 → empty string, like the reference's falsy check."""
-    txt = F.format_number(col.cast("double"), 1)
+    NULL/0 → empty string, like the reference's falsy check.
+    format_string (printf), NOT format_number — no thousands separators."""
+    # bround first: Java's %.1f rounds HALF_UP but CPython's rounds
+    # half-to-even ('%.1f' % 1.25 == '1.2') — bround reproduces that
+    txt = F.format_string("%.1f", F.bround(col.cast("double"), 1))
     stripped = F.regexp_replace(F.regexp_replace(txt, r"0$", ""), r"\.$", "")
     return F.when(col.isNull() | (col.cast("double") == 0.0), F.lit("")).otherwise(stripped)
 
