@@ -14,7 +14,9 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH = 4096  # geometries per Arrow batch into numpy kernels
+ARROW_BATCH = 16384  # rows per Arrow batch into numpy kernels (per-batch
+# pandas/serde overhead dominates small batches; 16k amortizes it while a
+# worst-case geometry batch stays ~15 MB)
 
 
 def get_spark(app: str = "building2osm_spark", cores: int | None = None,

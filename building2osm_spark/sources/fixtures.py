@@ -509,6 +509,61 @@ def spark_images(spark, n: int, hot_frac: float = 0.0, with_loc: bool = False):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def distributed_images(spark, n: int, hot_frac: float = 0.0, with_loc: bool = False):
+    """Images table generated IN EXECUTORS (mapInPandas over range(n)) —
+    every row is the same pure function of image_id as images_pdf, so the
+    two generators are interchangeable; this one scales to any n (the
+    driver never materializes a row)."""
+    import pandas as pd
+
+    schema = IMAGES_LOC_SCHEMA if with_loc else IMAGES_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            yield images_pdf_for_ids(pdf["id"].tolist(), hot_frac, with_loc)
+
+    return spark.range(n).mapInPandas(gen, schema=schema)
+
+
+def images_pdf_for_ids(ids, hot_frac: float = 0.0, with_loc: bool = False) -> pd.DataFrame:
+    """images_pdf for an explicit id list — the per-batch generator body."""
+    rows = []
+    sizes = (16, 32, 64)
+    fmts = ("raw", "bmp", "qraw")
+    for i in ids:
+        image_id = f"img_{i:012d}"
+        h64 = int(fnv1a64(image_id))
+        w = sizes[h64 % 3]
+        hgt = sizes[(h64 >> 8) % 3]
+        fmt = fmts[(h64 >> 16) % 3]
+        pix = _pixels_for(image_id, w, hgt)
+        if fmt == "raw":
+            data = encode_raw(pix)
+        elif fmt == "bmp":
+            data = encode_bmp(pix)
+        else:
+            data = encode_qraw(pix)
+        decoded = decode_image(data, fmt, w, hgt)
+        caption = (
+            f"a photo of a {_CAPTION_TYPES[h64 % len(_CAPTION_TYPES)]} "
+            f"near oslo #{i % 97}"
+        )
+        row = {
+            "image_id": image_id,
+            "bytes": data,
+            "w": np.int32(w),
+            "h": np.int32(hgt),
+            "fmt": fmt,
+            "caption": caption,
+            "phash": np.int64(average_phash(decoded)),
+        }
+        if with_loc:
+            lon, lat = image_location(image_id, hot_frac)
+            row["lon"], row["lat"] = lon, lat
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def spark_buildings(spark, n: int, seed: int = 42):
     return spark.createDataFrame(buildings_pdf(n, seed), schema=BUILDINGS_SCHEMA)
 

@@ -30,13 +30,21 @@ def data(spark):
     return images, subs, FX.images_pdf(800, hot_frac=0.3, with_loc=True), FX.subdivisions_pdf(4, 4)
 
 
-def test_broadcast_assignment_matches_brute_force(spark, data):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "broadcast,refine",
+    [(True, "native"), (False, "native"), (True, "arrow"), (False, "arrow")],
+)
+def test_assignment_matches_brute_force(spark, data, broadcast, refine):
     images, subs, images_pdf, subs_pdf = data
     got_df = assign_points_to_polygons(
         images.select("image_id", "lon", "lat"),
         subs.select(F.col("name").alias("poly_id"), "geometry"),
         multipolygon=True,
-        broadcast=True,
+        broadcast=broadcast,
+        refine=refine,
     )
     got = {(r.image_id, r.poly_id) for r in got_df.collect()}
     want = brute_force_assign(images_pdf, subs_pdf)
@@ -44,17 +52,35 @@ def test_broadcast_assignment_matches_brute_force(spark, data):
     assert len(got) > 0
 
 
-def test_shuffle_assignment_matches_brute_force(spark, data):
+def test_unrolled_matches_brute_force(spark, data):
+    from building2osm_spark.operators.cover_join import assign_points_unrolled
+
     images, subs, images_pdf, subs_pdf = data
+    polys_rows = [(r["name"], r["geometry"]) for _, r in subs_pdf.iterrows()]
+    got_df = assign_points_unrolled(
+        images.select("image_id", "lon", "lat"),
+        polys_rows,
+        multipolygon=True,
+    )
+    got = {(r.image_id, r.poly_id) for r in got_df.collect()}
+    want = brute_force_assign(images_pdf, subs_pdf)
+    assert got == want  # grid districts are disjoint → sets equal
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Join"):
+        assert marker not in plan  # join-free, Python-free
+
+
+def test_native_plan_has_no_python(spark, data):
+    images, subs, *_ = data
     got_df = assign_points_to_polygons(
         images.select("image_id", "lon", "lat"),
         subs.select(F.col("name").alias("poly_id"), "geometry"),
         multipolygon=True,
-        broadcast=False,
+        refine="native",
     )
-    got = {(r.image_id, r.poly_id) for r in got_df.collect()}
-    want = brute_force_assign(images_pdf, subs_pdf)
-    assert got == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
 
 
 def test_hole_excludes_points(spark, data):
