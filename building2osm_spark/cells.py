@@ -190,6 +190,51 @@ def cover_polygon(rings: list[np.ndarray], res: int, max_cells: int = 4096) -> n
     return cells[keep]
 
 
+def cover_polygon_flags(
+    rings: list[np.ndarray], res: int, max_cells: int = 4096
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cells, full) cover where full[i] marks cells PROVABLY fully inside
+    the polygon (all 4 corners inside the outer ring, no outer/hole edge
+    bbox overlapping the cell, and not inside any hole). Points landing in
+    a full cell need no exact PIP — at building/district scale the
+    interior dominates, so this removes the ray cast for most points
+    (the polyfill interior/boundary split)."""
+    from .geom import points_in_ring
+
+    cells = cover_polygon(rings, res, max_cells=max_cells)
+    if len(cells) == 0:
+        return cells, np.zeros(0, dtype=bool)
+    c_minlon, c_minlat, c_maxlon, c_maxlat = cell_bounds(cells)
+    corners = np.stack(
+        [
+            np.stack([c_minlon, c_minlat], axis=1),
+            np.stack([c_minlon, c_maxlat], axis=1),
+            np.stack([c_maxlon, c_minlat], axis=1),
+            np.stack([c_maxlon, c_maxlat], axis=1),
+        ],
+        axis=1,
+    ).reshape(-1, 2)
+
+    full = points_in_ring(corners, np.asarray(rings[0], dtype=np.float64)).reshape(-1, 4).all(axis=1)
+
+    for ring in rings:  # outer + holes: any edge near the cell → boundary
+        r = np.asarray(ring, dtype=np.float64)
+        ex0 = np.minimum(r[:-1, 0], r[1:, 0])
+        ex1 = np.maximum(r[:-1, 0], r[1:, 0])
+        ey0 = np.minimum(r[:-1, 1], r[1:, 1])
+        ey1 = np.maximum(r[:-1, 1], r[1:, 1])
+        overlap = (
+            (c_minlon[:, None] <= ex1[None, :]) & (ex0[None, :] <= c_maxlon[:, None])
+            & (c_minlat[:, None] <= ey1[None, :]) & (ey0[None, :] <= c_maxlat[:, None])
+        ).any(axis=1)
+        full &= ~overlap
+    for hole in rings[1:]:  # a full cell must not sit inside a hole
+        h = np.asarray(hole, dtype=np.float64)
+        inside_hole = points_in_ring(corners, h).reshape(-1, 4).any(axis=1)
+        full &= ~inside_hole
+    return cells, full
+
+
 def compact(cells: np.ndarray) -> np.ndarray:
     """Merge every complete sibling quartet into its parent, repeatedly —
     the 'compacted cell cover' of the north star. Input: unique cells at a

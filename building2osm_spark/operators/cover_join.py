@@ -245,10 +245,12 @@ def assign_points_to_polygons(
             for r in polys.select(poly_id, geometry).collect():
                 g = r[geometry]
                 polys_list = g if multipolygon else [g]
-                cover_cells: set[int] = set()
+                cell_full: dict[int, bool] = {}
                 rings_flat = []
                 for pi, p in enumerate(polys_list):
-                    cover_cells.update(C.cover_polygon(_polygon(p), res).tolist())
+                    cc, full = C.cover_polygon_flags(_polygon(p), res)
+                    for cell, f in zip(cc.tolist(), full.tolist()):
+                        cell_full[cell] = bool(cell_full.get(cell, False) or f)
                     for ri, ring in enumerate(p):
                         rings_flat.append(
                             (
@@ -258,12 +260,14 @@ def assign_points_to_polygons(
                                 [float(pt[1]) for pt in ring],
                             )
                         )
-                for cell in cover_cells:
-                    side_rows.append((int(cell), r[poly_id], rings_flat))
+                for cell, f in cell_full.items():
+                    # interior cells carry NO rings: the candidate join row
+                    # proves containment by itself (polyfill interior cell)
+                    side_rows.append((int(cell), r[poly_id], f, [] if f else rings_flat))
             id_t = polys.schema[poly_id].dataType.simpleString()
             side = spark.createDataFrame(
                 side_rows,
-                schema=f"__cell long, {poly_id} {id_t}, __rings {RINGS_T}",
+                schema=f"__cell long, {poly_id} {id_t}, __full boolean, __rings {RINGS_T}",
             )
         else:
             side = (
@@ -271,13 +275,15 @@ def assign_points_to_polygons(
                 .withColumn(
                     "__rings", flatten_geometry_col(F.col(geometry), multipolygon)
                 )
+                .withColumn("__full", F.lit(False))
                 .drop(geometry)
                 .withColumnRenamed("cell", "__cell")
             )
         joined = pts.join(F.broadcast(side) if broadcast else side, "__cell")
         assigned = joined.filter(
-            rings_contains_col(F.col("__rings"), F.col(lon), F.col(lat))
-        ).drop("__cell", "__rings")
+            F.col("__full")
+            | rings_contains_col(F.col("__rings"), F.col(lon), F.col(lat))
+        ).drop("__cell", "__rings", "__full")
     elif broadcast:
         cand = pts.join(
             F.broadcast(covers.withColumnRenamed("cell", "__cell")), "__cell"

@@ -87,6 +87,25 @@ def test_cover_polygon_res_degrade_bound():
     assert len(cover) <= 1000
 
 
+def test_cover_polygon_flags_interior_classification():
+    ring = np.array(
+        [[10.70, 59.90], [10.76, 59.90], [10.76, 59.95], [10.70, 59.95], [10.70, 59.90]]
+    )
+    hole = np.array(
+        [[10.72, 59.92], [10.74, 59.92], [10.74, 59.93], [10.72, 59.93], [10.72, 59.92]]
+    )
+    cc, full = cells.cover_polygon_flags([ring, hole], 15)
+    assert full.sum() > 0  # interior cells exist at this resolution
+    assert (~full).sum() > 0
+    # every corner of every 'full' cell is truly inside (and outside the hole)
+    minlon, minlat, maxlon, maxlat = cells.cell_bounds(cc[full])
+    corners = np.stack(
+        [np.stack([minlon, minlat], 1), np.stack([maxlon, maxlat], 1),
+         np.stack([minlon, maxlat], 1), np.stack([maxlon, minlat], 1)], axis=1
+    ).reshape(-1, 2)
+    assert geom.points_in_polygon(corners, [ring, hole]).all()
+
+
 def test_compact_uncompact_roundtrip():
     base = cells.cell_id(np.array([10.75]), np.array([59.91]), 12)[0]
     full = cells.uncompact(np.array([base]), 15)  # 64 cells

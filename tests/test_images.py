@@ -51,6 +51,18 @@ def test_decode_features_and_oracle_check(spark):
         assert r.psnr_db >= 40.0
 
 
+def test_distributed_generator_matches_local(spark):
+    # executor-side generation must be row-identical to the driver-side
+    # generator (same pure function of image_id)
+    d = FX.distributed_images(spark, 150).orderBy("image_id").collect()
+    l = FX.images_pdf(150)
+    assert [r.image_id for r in d] == list(l["image_id"])
+    assert [r.phash for r in d] == list(l["phash"])
+    for r, (_, row) in zip(d, l.iterrows()):
+        assert bytes(r.bytes) == bytes(row["bytes"])
+        assert r.caption == row["caption"]
+
+
 def test_resize_block_mean(spark):
     df = FX.spark_images(spark, 30)
     small = IM.resize_block_mean(df, 8, 8)
