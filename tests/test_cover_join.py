@@ -105,6 +105,40 @@ def test_hole_excludes_points(spark, data):
         assert len(hole_ids) > 0
 
 
+def test_polygon_native_building_assignment(spark):
+    # single-Polygon geometry type (footprints), native tier, res 18
+    import numpy as np
+    from building2osm_spark import geom
+
+    bpdf = FX.buildings_pdf(60)
+    polys = spark.createDataFrame(
+        bpdf[["ref", "geometry"]].rename(columns={"ref": "poly_id"}),
+        schema=f"poly_id string, geometry {FX.GEOMETRY_POLYGON_T}",
+    )
+    images_pdf = FX.images_pdf(400, with_loc=True)
+    # move a tenth of the points inside known buildings so matches exist
+    for i in range(0, 40):
+        ring = np.asarray(bpdf.iloc[i % 60]["geometry"][0], dtype=np.float64)
+        c = ring[:-1].mean(axis=0)
+        images_pdf.loc[i, "lon"], images_pdf.loc[i, "lat"] = c[0], c[1]
+    pts = spark.createDataFrame(images_pdf[["image_id", "lon", "lat"]])
+
+    got_df = assign_points_to_polygons(
+        pts, polys, multipolygon=False, broadcast=True, refine="native", res=18
+    )
+    got = {(r.image_id, r.poly_id) for r in got_df.collect()}
+
+    want = set()
+    xy = images_pdf[["lon", "lat"]].to_numpy(np.float64)
+    for _, b in bpdf.iterrows():
+        rings = [np.asarray(r, dtype=np.float64) for r in b["geometry"]]
+        inside = geom.points_in_polygon(xy, rings)
+        for img_id in images_pdf.loc[inside, "image_id"]:
+            want.add((img_id, b["ref"]))
+    assert got == want
+    assert len(got) >= 30  # some L-shape vertex-mean centres fall outside
+
+
 def test_keep_unassigned_marks_leftovers(spark):
     # half the grid only → points in the uncovered half get NULL poly_id
     images = FX.spark_images(spark, 300, with_loc=True)
