@@ -256,9 +256,7 @@ def main() -> None:
         "n_assigned": n_assigned,
     }
     if not args.no_scaling:
-        result["scaling"] = {
-            k: round(v, 3) for k, v in run_scaling(64_000_000).items()
-        }
+        result["scaling"] = run_scaling(64_000_000)
     print(json.dumps(result))
 
 
