@@ -256,7 +256,10 @@ def main() -> None:
         "n_assigned": n_assigned,
     }
     if not args.no_scaling:
-        result["scaling"] = run_scaling(64_000_000)
+        try:
+            result["scaling"] = run_scaling(64_000_000)
+        except Exception as e:  # noqa: BLE001 — never lose the JSON line
+            result["scaling"] = {"error": str(e)[:200]}
     print(json.dumps(result))
 
 

@@ -1,0 +1,152 @@
+"""Command-line entry points mirroring the reference's three scripts.
+
+A user of the reference runs:
+    python3 building2osm.py <municipality>          → extract+rectify+simplify
+    python3 building_merge.py <municipality> [...]  → conflate with OSM
+    python3 municipality_split.py <municipality>    → PIP split into districts
+
+The engine's equivalents (batch, table-in/table-out):
+    python -m building2osm_spark.cli process  --buildings in.parquet --out dir/
+    python -m building2osm_spark.cli merge    --osm osm.parquet --imports imp.geojson --out dir/
+    python -m building2osm_spark.cli split    --points pts.parquet --districts d.parquet --out dir/
+
+Inputs are Parquet tables with the engine schemas (sources/fixtures.py) or
+GeoJSON FeatureCollections (sources/geojson.py); outputs are Parquet plus a
+canonical GeoJSON per district/municipality. `--cores`, `--resume-root`
+(snapshot store for idempotent re-runs) apply to all subcommands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app=f"b2o-{args.cmd}", cores=args.cores)
+
+
+def cmd_process(args) -> int:
+    """building2osm flow: enrich + rectify + simplify + WKB + GeoJSON."""
+    from pyspark.sql import functions as F
+
+    from .plans.pipeline import municipality_pipeline
+    from .sources.geojson import write_geojson
+
+    spark = _spark(args)
+    buildings = spark.read.parquet(args.buildings)
+    out = municipality_pipeline(spark, buildings)
+    os.makedirs(args.out, exist_ok=True)
+    out.write.mode("overwrite").parquet(os.path.join(args.out, "buildings.parquet"))
+    n = write_geojson(
+        out.select("ref", "geometry", "tags"),
+        os.path.join(args.out, "buildings.geojson"),
+    )
+    print(f"processed {n} buildings -> {args.out}")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """building_merge flow: anti-join + mutual-best conflation + tag merge."""
+    from pyspark.sql import functions as F
+
+    from .operators.conflate import conflate
+    from .operators.tags import merged_tags
+
+    spark = _spark(args)
+    osm = spark.read.parquet(args.osm)
+    if args.imports.endswith(".geojson"):
+        from .functions.udfs import area_merge_udf, centre_udf
+        from .sources.geojson import read_geojson
+
+        imports = read_geojson(spark, args.imports)
+        imports = imports.select(
+            "ref",
+            F.col("geometry")[0].alias("ring"),
+            centre_udf("geometry")["lon"].alias("c_lon"),
+            centre_udf("geometry")["lat"].alias("c_lat"),
+            area_merge_udf("geometry").alias("area"),
+            F.col("tags")["building"].alias("building"),
+        )
+    else:
+        imports = spark.read.parquet(args.imports)
+    matches = conflate(
+        osm, imports,
+        margin_hausdorff=args.maxdist,
+        margin_tagged=args.maxdist / 2.0,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    matches.write.mode("overwrite").parquet(os.path.join(args.out, "matches.parquet"))
+    n = matches.count()
+    print(f"merged {n} buildings -> {args.out}/matches.parquet")
+    return 0
+
+
+def cmd_split(args) -> int:
+    """municipality_split flow: PIP assignment + leftover + per-district files."""
+    from pyspark.sql import functions as F
+
+    from .operators.cover_join import assign_points_to_polygons
+    from .sources.checkpoint import SnapshotStore
+
+    spark = _spark(args)
+    points = spark.read.parquet(args.points)
+    districts = spark.read.parquet(args.districts)
+    assigned = assign_points_to_polygons(
+        points,
+        districts.select(F.col("name").alias("district"), "geometry"),
+        poly_id="district",
+        multipolygon=True,
+        keep_unassigned=True,
+    )
+    if args.resume_root:
+        store = SnapshotStore(args.resume_root)
+        inside = assigned.filter(F.col("district").isNotNull())
+        sid, n_new = store.incremental_commit(inside, "split", points.columns[0])
+        print(f"snapshot {sid}: {n_new} new assignments")
+    os.makedirs(args.out, exist_ok=True)
+    (
+        assigned.withColumn("district", F.coalesce("district", F.lit("_leftover")))
+        .write.mode("overwrite")
+        .partitionBy("district")
+        .parquet(os.path.join(args.out, "assignments.parquet"))
+    )
+    counts = assigned.groupBy("district").count().orderBy("district").collect()
+    for r in counts:
+        print(f"  {r['district'] or '_leftover'}: {r['count']}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="building2osm_spark")
+    ap.add_argument("--cores", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("process", help="extract + rectify + simplify (building2osm.py)")
+    p.add_argument("--buildings", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_process)
+
+    m = sub.add_parser("merge", help="conflate with OSM (building_merge.py)")
+    m.add_argument("--osm", required=True)
+    m.add_argument("--imports", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--maxdist", type=float, default=10.0)
+    m.set_defaults(fn=cmd_merge)
+
+    s = sub.add_parser("split", help="PIP split into districts (municipality_split.py)")
+    s.add_argument("--points", required=True)
+    s.add_argument("--districts", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--resume-root", default=None)
+    s.set_defaults(fn=cmd_split)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+"""CLI smoke tests (the three reference entry points, table-in/table-out)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from building2osm_spark import cli
+from building2osm_spark.sources import fixtures as FX
+
+
+def test_cli_process(spark, tmp_path):
+    src = str(tmp_path / "b.parquet")
+    FX.spark_buildings(spark, 30).write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = cli.main(["--cores", "4", "process", "--buildings", src, "--out", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "buildings.geojson"))
+    data = json.load(open(os.path.join(out, "buildings.geojson")))
+    assert len(data["features"]) == 30
+    assert spark.read.parquet(os.path.join(out, "buildings.parquet")).count() == 30
+
+
+def test_cli_merge(spark, tmp_path):
+    osm_pdf, import_pdf = FX.conflation_pdfs(32)
+    osm_p = str(tmp_path / "osm.parquet")
+    imp_p = str(tmp_path / "imp.parquet")
+    spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA).write.parquet(osm_p)
+    spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA).write.parquet(imp_p)
+    out = str(tmp_path / "out")
+    rc = cli.main(["--cores", "4", "merge", "--osm", osm_p, "--imports", imp_p, "--out", out])
+    assert rc == 0
+    matches = spark.read.parquet(os.path.join(out, "matches.parquet"))
+    assert matches.count() > 0
+
+
+def test_cli_split_with_resume(spark, tmp_path):
+    pts_p = str(tmp_path / "pts.parquet")
+    d_p = str(tmp_path / "d.parquet")
+    spark.createDataFrame(
+        FX.images_pdf(120, with_loc=True)[["image_id", "lon", "lat"]]
+    ).write.parquet(pts_p)
+    spark.createDataFrame(
+        FX.subdivisions_pdf(2, 2), schema=FX.SUBDIVISIONS_SCHEMA
+    ).write.parquet(d_p)
+    out = str(tmp_path / "out")
+    snap = str(tmp_path / "snap")
+    rc = cli.main(
+        ["--cores", "4", "split", "--points", pts_p, "--districts", d_p,
+         "--out", out, "--resume-root", snap]
+    )
+    assert rc == 0
+    assigned = spark.read.parquet(os.path.join(out, "assignments.parquet"))
+    assert assigned.count() == 120
+    # second run: resume commits nothing new
+    from building2osm_spark.sources.checkpoint import SnapshotStore
+
+    store = SnapshotStore(snap)
+    assert store.read(spark, "split").count() > 0
