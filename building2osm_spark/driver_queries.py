@@ -44,7 +44,7 @@ BBOX = (10.60, 59.85, 11.00, 60.05)
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    u1 = ((F.col("c_custkey") % 997) + F.lit(0.37)) / F.lit(997.0)
+    u1 = (((F.col("c_custkey") * 293) % 997) + F.lit(0.37)) / F.lit(997.0)
     u2 = (((F.col("c_custkey") * 131) % 997) + F.lit(0.37)) / F.lit(997.0)
     return cust.select(
         F.col("c_custkey").alias("point_id"),
@@ -55,7 +55,7 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POINTS_SQL = """
 SELECT c_custkey AS point_id,
-       10.60 + (((c_custkey % 997) + 0.37) / 997.0) * 0.4 AS lon,
+       10.60 + ((((c_custkey * 293) % 997) + 0.37) / 997.0) * 0.4 AS lon,
        59.85 + ((((c_custkey * 131) % 997) + 0.37) / 997.0) * 0.2 AS lat
 FROM customer
 """
