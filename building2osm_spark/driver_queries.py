@@ -690,6 +690,26 @@ SELECT q_id, c_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 3
 """
 
 
+def q_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/A6 analog: the progress-table aggregation (counts + percentage
+    of total, building_progress.py:367-381) over orders by priority."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    agg = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(total), 4).alias("pct"),
+    )
+
+
+ORACLE_PROGRESS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) * 100.0 / sum(count(*)) OVER () AS DOUBLE), 4) AS pct
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible engine operators)
 # ---------------------------------------------------------------------------
@@ -843,6 +863,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "cosine_topk": q_cosine_topk,
+    "progress_metrics": q_progress_metrics,
     # rows-only (non-SQL-expressible engine operators)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_pairs": q_simhash_pairs,
@@ -880,4 +901,5 @@ ORACLES = {
     "token_stats": ORACLE_TOKEN,
     "lang_id": ORACLE_LANG,
     "cosine_topk": ORACLE_COSINE,
+    "progress_metrics": ORACLE_PROGRESS,
 }
