@@ -827,6 +827,34 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile <-> vector-footprint overlay over synthetic fixtures
+    (north-star operator; exact-PIP verified in tests/test_overlay.py)."""
+    from .operators.overlay import raster_vector_overlay
+    from .sources.fixtures import (
+        GEOMETRY_POLYGON_T,
+        building_geometries,
+        images_pdf,
+    )
+
+    import numpy as np
+
+    geoms = building_geometries(120)
+    polys = spark.createDataFrame(
+        geoms, schema=f"ref string, geometry {GEOMETRY_POLYGON_T}"
+    )
+    pdf = images_pdf(400, with_loc=True)[["image_id", "lon", "lat"]]
+    # plant every other image on a footprint centre so the overlay is
+    # non-trivially populated (deterministic)
+    for i in range(0, 400, 2):
+        ring = np.asarray(geoms[(i // 2) % 120][1][0], dtype=np.float64)
+        c = ring[:-1].mean(axis=0)
+        pdf.loc[i, "lon"], pdf.loc[i, "lat"] = float(c[0]), float(c[1])
+    imgs = spark.createDataFrame(pdf)
+    out = raster_vector_overlay(imgs, polys, res=18)
+    return out.select("image_id", "ref", "tile")
+
+
 def q_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.fixtures import spark_images
 
@@ -874,6 +902,7 @@ QUERIES = {
     "rectify_simplify": q_rectify_simplify,
     "conflate_fixture": q_conflate_fixture,
     "image_pipeline": q_image_pipeline,
+    "raster_overlay": q_raster_overlay,
     "image_phash_buckets": q_image_phash_buckets,
 }
 
