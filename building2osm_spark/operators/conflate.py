@@ -196,6 +196,48 @@ def conflate(
     return matches
 
 
+def conflate_with_tags(
+    osm: DataFrame,
+    imports: DataFrame,
+    import_props: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Full G3 output: matches get merged tag maps (add_building semantics,
+    building_merge.py:552-585) and action='modify'; unmatched import
+    buildings become action='new' rows (building_merge.py:738-742).
+
+    import_props: (ref, props map<string,string>) — the import features'
+    OSM tag payload (must include 'building'; 'ref:bygningsnr' customary).
+    Returns (ref, osm_id nullable, action, tags).
+    """
+    from .tags import merged_tags
+
+    matches = conflate(osm, imports, **kwargs)
+    modified = (
+        matches.join(osm.select("osm_id", F.col("tags").alias("__osm_tags")), "osm_id")
+        .join(import_props, "ref")
+        .select(
+            "ref",
+            "osm_id",
+            F.lit("modify").alias("action"),
+            merged_tags(F.col("__osm_tags"), F.col("props")).alias("tags"),
+        )
+    )
+    new_rows = (
+        imports.select("ref")
+        .join(matches.select("ref"), "ref", "left_anti")
+        .join(import_props, "ref")
+        .filter(F.map_contains_key("props", "building"))
+        .select(
+            "ref",
+            F.lit(None).cast("long").alias("osm_id"),
+            F.lit("new").alias("action"),
+            F.col("props").alias("tags"),
+        )
+    )
+    return modified.unionByName(new_rows)
+
+
 def identical_pair_count(osm: DataFrame, imports: DataFrame) -> int:
     """J3 diagnostic: forward-bbox pairs with Hausdorff < 1 m
     (building_merge.py:706-709)."""

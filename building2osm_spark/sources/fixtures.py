@@ -421,13 +421,18 @@ def conflation_pdfs(n: int = 64, seed: int = 42):
         def mk_osm(ring, tags, tagged=False):
             arr = np.asarray(ring, dtype=np.float64)
             clon, clat = G.polygon_centre(arr)
+            # derive the flag exactly like building_merge.py:444-448 (any
+            # tag beyond building/source/addr:*) — ref:bygningsnr counts
+            derived = any(
+                k not in ("building", "source") and "addr:" not in k for k in tags
+            )
             return {
                 "osm_id": -(1000 + i),
                 "ring": ring,
                 "c_lon": clon,
                 "c_lat": clat,
                 "area": abs(G.polygon_area_merge(arr)),
-                "tagged": tagged,
+                "tagged": tagged or derived,
                 "ref_tag": tags.get("ref:bygningsnr"),
                 "tags": tags,
             }
