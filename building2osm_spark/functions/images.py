@@ -108,6 +108,58 @@ def resize_block_mean(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every: int = 2) -> DataFrame:
+    """Video payload → every-kth frame as raw image rows (the multimodal
+    frame-sampling stage). fmt='vraw' is the engine's synthetic container:
+    n concatenated h*w*3 raw RGB frames. Real containers (mp4/webm) need
+    codec libraries absent from this sandbox — they raise with a clear
+    message; the Spark plumbing (schema, batching, fan-out) is identical
+    whichever demuxer is plugged in."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs, ws, hs, fmts = [], [], [], [], [], []
+            for img_id, data, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                if fmt != "vraw":
+                    raise NotImplementedError(
+                        f"container {fmt!r}: real demuxers (mp4/webm) need "
+                        "codec libraries not present in this sandbox"
+                    )
+                frame_size = int(w) * int(h) * 3
+                n_frames = len(data) // frame_size
+                for fi in range(0, n_frames, every):
+                    ids.append(img_id)
+                    idxs.append(np.int32(fi))
+                    blobs.append(bytes(data[fi * frame_size : (fi + 1) * frame_size]))
+                    ws.append(np.int32(w))
+                    hs.append(np.int32(h))
+                    fmts.append("raw")
+            yield pd.DataFrame(
+                {
+                    "image_id": ids, "frame_idx": idxs, "bytes": blobs,
+                    "w": ws, "h": hs, "fmt": fmts,
+                }
+            )
+
+    return df.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        kernel, schema=FRAME_SCHEMA
+    )
+
+
 ORACLE_CHECK_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

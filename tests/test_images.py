@@ -51,6 +51,36 @@ def test_decode_features_and_oracle_check(spark):
         assert r.psnr_db >= 40.0
 
 
+def test_frame_sample_vraw(spark):
+    import pytest as _pytest
+
+    # synthetic 'vraw' videos: 6 concatenated 8×8 raw frames per row
+    rows = []
+    for i in range(5):
+        frames = [FX._pixels_for(f"vid_{i}_{f}", 8, 8) for f in range(6)]
+        data = b"".join(FX.encode_raw(p) for p in frames)
+        rows.append((f"vid_{i}", data, 8, 8, "vraw"))
+    df = spark.createDataFrame(
+        rows, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    sampled = IM.frame_sample(df, every=2).collect()
+    assert len(sampled) == 5 * 3  # frames 0, 2, 4
+    for r in sampled:
+        assert r.fmt == "raw" and len(r.bytes) == 8 * 8 * 3
+    # sampled frame 2 of vid_0 equals the original frame 2
+    want = FX.encode_raw(FX._pixels_for("vid_0_2", 8, 8))
+    got = next(bytes(r.bytes) for r in sampled if r.image_id == "vid_0" and r.frame_idx == 2)
+    assert got == want
+
+    # real containers are stubbed with a clear error
+    bad = spark.createDataFrame(
+        [("x", b"\x00\x00", 8, 8, "mp4")],
+        schema="image_id string, bytes binary, w int, h int, fmt string",
+    )
+    with _pytest.raises(Exception, match="demuxers"):
+        IM.frame_sample(bad).collect()
+
+
 def test_distributed_generator_matches_local(spark):
     # executor-side generation must be row-identical to the driver-side
     # generator (same pure function of image_id)
