@@ -163,19 +163,26 @@ def run_single_job(job: str, cores: int, n: int) -> None:
     spark.stop()
 
 
-def _scaling_for(job: str, n: int, levels=(8, 32)) -> dict:
+def _scaling_for(job: str, n: int, levels=(8, 32), sessions: int = 2) -> dict:
+    """Interleave `sessions` fresh JVMs per level (each already min-of-3
+    on the action) and keep the per-level minimum: session-to-session JIT/
+    page-cache variance is the dominant noise source (observed ±40% on
+    identical runs), and the minimum is the least-interference estimate."""
     lo, hi = levels
+    best = {c: float("inf") for c in levels}
+    for _ in range(sessions):
+        for cores in levels:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single-job", job,
+                 "--cores", str(cores), "--n", str(n)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            best[cores] = min(best[cores], json.loads(line)["seconds"])
     out = {}
     for cores in levels:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single-job", job,
-             "--cores", str(cores), "--n", str(n)],
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        seconds = json.loads(line)["seconds"]
-        out[f"thr_{cores}"] = round(n / seconds, 1)
-        out[f"sec_{cores}"] = round(seconds, 3)
+        out[f"thr_{cores}"] = round(n / best[cores], 1)
+        out[f"sec_{cores}"] = round(best[cores], 3)
     out["efficiency"] = round((out[f"thr_{hi}"] / out[f"thr_{lo}"]) / (hi / lo), 3)
     return out
 
