@@ -392,9 +392,9 @@ def conflation_pdfs(n: int = 64, seed: int = 42):
 
     rng = np.random.default_rng(seed)
     minlon, minlat, maxlon, maxlat = BBOX
-    cols = 16
-    step_lat = 0.0027  # ≈ 300 m
-    step_lon = 0.0054  # ≈ 300 m at 60°N
+    cols = max(16, int(np.ceil(np.sqrt(n))))  # keep the grid inside BBOX
+    step_lat = min(0.0027, (maxlat - minlat - 0.02) / max(n // cols, 1))
+    step_lon = min(0.0054, (maxlon - minlon - 0.02) / cols)
     osm_rows, import_rows = [], []
     for i in range(n):
         gx, gy = i % cols, i // cols
