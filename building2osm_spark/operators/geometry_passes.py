@@ -113,14 +113,51 @@ def _rectify_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _rectify_singles_kernel(batches):
+    for pdf in batches:
+        out = {"ref": [], "geometry": [], "rectified": [], "removed": []}
+        for ref, g in zip(pdf["ref"], pdf["geometry"]):
+            res = GP.rectify_group([_to_rings(g)])
+            out["ref"].append(ref)
+            out["geometry"].append(
+                [[list(p) for p in ring] for ring in res.buildings[0]]
+            )
+            out["rectified"].append(res.status)
+            out["removed"].append([[list(n) for n in sorted(res.removed_nodes)]])
+        yield pd.DataFrame(out)
+
+
 def rectify(df: DataFrame) -> DataFrame:
-    """(ref, geometry, rectified, removed) after group orthogonalization."""
-    comps = connected_components(df)
-    return (
-        df.join(comps, "ref")
+    """(ref, geometry, rectified, removed) after group orthogonalization.
+
+    Split plan: buildings sharing NO vertex with another building (the vast
+    majority) are singleton components — they rectify in a map-only
+    mapInPandas pass with no shuffle; only buildings with shared vertices
+    enter label propagation + the grouped kernel. Same kernels, same
+    results (the group census of a singleton is its own vertices)."""
+    verts = _explode_vertices(df, include_closing=False)
+    shared_verts = (
+        verts.groupBy("vlon", "vlat")
+        .agg(F.count("*").alias("__n"), F.countDistinct("ref").alias("__r"))
+        .filter(F.col("__r") > 1)
+        .select("vlon", "vlat")
+    )
+    shared_refs = (
+        verts.join(shared_verts, ["vlon", "vlat"]).select("ref").distinct()
+    )
+    singles = df.join(shared_refs, "ref", "left_anti")
+    grouped = df.join(shared_refs, "ref", "left_semi")
+
+    singles_out = singles.select("ref", "geometry").mapInPandas(
+        _rectify_singles_kernel, schema=_RECTIFY_SCHEMA
+    )
+    comps = connected_components(grouped)
+    grouped_out = (
+        grouped.join(comps, "ref")
         .groupBy("component")
         .applyInPandas(_rectify_kernel, schema=_RECTIFY_SCHEMA)
     )
+    return singles_out.unionByName(grouped_out)
 
 
 _MARKS_SCHEMA = T.StructType(
