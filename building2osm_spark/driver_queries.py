@@ -749,6 +749,9 @@ def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH + exact-cosine near-dup; at threshold 0.99 on this data the only
+    qualifying pairs are the planted exact duplicates (identical sign
+    signatures -> LSH recall 1.0), so a brute-force SQL oracle agrees."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dup = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
@@ -756,6 +759,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_near_dup(
         emb.select("vec_id", "embedding").unionByName(dup), threshold=0.99
     ).select("id_a", "id_b")
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH unioned AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+),
+a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va FROM unioned),
+b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb FROM unioned)
+SELECT id_a, id_b FROM a, b
+WHERE id_a < id_b AND list_cosine_similarity(va, vb) >= 0.99
+"""
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,4 +947,5 @@ ORACLES = {
     "lang_id": ORACLE_LANG,
     "cosine_topk": ORACLE_COSINE,
     "progress_metrics": ORACLE_PROGRESS,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
 }
