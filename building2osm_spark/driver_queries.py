@@ -274,7 +274,8 @@ def q_levels_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id",
         F.when(hu > 1, hu).alias("building_levels"),
-        F.when(F.col("l") > 0, F.col("l")).alias("roof_levels"),
+        # roof gated on hu > 1, matching building2osm.py:757-762
+        F.when((hu > 1) & (F.col("l") > 0), F.col("l")).alias("roof_levels"),
     )
 
 
@@ -289,7 +290,8 @@ WITH agg AS (
 SELECT user_id,
        CASE WHEN coalesce(h, 0) + coalesce(u, 0) > 1
             THEN coalesce(h, 0) + coalesce(u, 0) END AS building_levels,
-       CASE WHEN l > 0 THEN l END AS roof_levels
+       CASE WHEN coalesce(h, 0) + coalesce(u, 0) > 1 AND l > 0
+            THEN l END AS roof_levels
 FROM agg
 """
 

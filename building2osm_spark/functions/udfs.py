@@ -142,6 +142,24 @@ def wkb_udf(geometry: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.StringType())
+def format_decimal_udf(values: pd.Series) -> pd.Series:
+    """CPython-exact format_decimal (building2osm.py:92-98): '%.1f' on the
+    exact binary value (half-even), strip trailing '0'/'.'; falsy → ''.
+    Arrow-batched; exists because no JVM-native path reproduces CPython's
+    exact-value rounding (see columns.format_decimal_col docstring)."""
+
+    def fmt(v) -> str:
+        # None/0.0 → '' like the reference's falsy check; NaN also → ''
+        # because SQL NULL reaches a float64 pandas series as NaN — the
+        # null contract outranks the reference's (pathological) nan path
+        if v is None or v != v or not v:
+            return ""
+        return ("%.1f" % v).rstrip("0").rstrip(".")
+
+    return values.map(fmt)
+
+
 @F.pandas_udf(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))))
 def round7_geometry_udf(geometry: pd.Series) -> pd.Series:
     """Round all coordinates to 7 decimals (building2osm.py:36,621,1226);

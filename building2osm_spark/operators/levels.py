@@ -44,8 +44,10 @@ def building_levels(
         F.max(F.when(F.col("__t") == "L", F.col("__n"))).alias("l"),
     )
     hu = F.coalesce(F.col("h"), F.lit(0)) + F.coalesce(F.col("u"), F.lit(0))
+    # roof:levels is only emitted inside the H+U > 1 branch
+    # (building2osm.py:757-762): L>0 alone never produces the tag.
     return agg.select(
         ref_col,
         F.when(hu > 1, hu).alias("building_levels"),
-        F.when(F.col("l") > 0, F.col("l")).alias("roof_levels"),
+        F.when((hu > 1) & (F.col("l") > 0), F.col("l")).alias("roof_levels"),
     )

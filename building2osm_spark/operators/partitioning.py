@@ -78,10 +78,25 @@ def salted_repartition(
     salt_buckets: int = 8,
     hot_threshold: int = 100_000,
     num_partitions: int | None = None,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Repartition by (cell, salt) where only hot cells (≥ hot_threshold
     rows) receive a non-zero salt range — cold cells stay single-bucket so
-    downstream per-cell aggregation needs no extra merge for them."""
+    downstream per-cell aggregation needs no extra merge for them.
+
+    The salt is a DETERMINISTIC function of row content (xxhash64 over
+    salt_cols, default: every hashable column): on partial stage retry
+    after executor loss, recomputed rows land in the same (cell, salt)
+    partition as the surviving shuffle output (SPARK-23207 class —
+    monotonically_increasing_id/rand as a repartition key can duplicate
+    or lose rows under retry).
+    """
+    if salt_cols is None:
+        from pyspark.sql.types import MapType
+
+        salt_cols = [
+            f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+        ]
     hist = df.groupBy(cell_col).agg(F.count("*").alias("__n"))
     hot = hist.filter(F.col("__n") >= hot_threshold).select(cell_col)
     salted = df.join(F.broadcast(hot.withColumn("__hot", F.lit(True))), cell_col, "left")
@@ -89,7 +104,7 @@ def salted_repartition(
         "salt",
         F.when(
             F.col("__hot").isNotNull(),
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+            F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)),
         ).otherwise(F.lit(0)),
     ).drop("__hot")
     # explicit partition count: AQE must not coalesce the spread away

@@ -58,9 +58,15 @@ def tagged_flag(tags: Column) -> Column:
     )
 
 
+_UPPERCASE_KEEP = ("TYPE", "STATUS", "DATE")  # building2osm.py:1309
+
+
 def drop_debug_tags(tags: Column, keep_uppercase: bool = False) -> Column:
-    """P3 — strip UPPERCASE debug/verify keys unless flagged
-    (building2osm.py:1306-1311)."""
+    """P3 — strip UPPERCASE debug/verify keys unless flagged, but keep the
+    deliberate output properties TYPE/STATUS/DATE (building2osm.py:1306-1311;
+    they are set at :638-653 and feed building_merge's TYPE retag rules)."""
     if keep_uppercase:
         return tags
-    return F.map_filter(tags, lambda k, _: k != F.upper(k))
+    return F.map_filter(
+        tags, lambda k, _: (k != F.upper(k)) | k.isin(*_UPPERCASE_KEEP)
+    )

@@ -125,6 +125,22 @@ class SnapshotStore:
 
     # -- resume -------------------------------------------------------------
 
+    def _resume(
+        self, spark: SparkSession, df: DataFrame, stage: str, key_col: str,
+        params: dict | None = None,
+    ) -> tuple[DataFrame, bool]:
+        """(filtered_df, resumed). resumed=False means the previous
+        snapshot is NOT a prefix of this computation (absent, different
+        key_col, or different params) — the caller must treat df as a
+        complete fresh result, not an increment."""
+        m = self.manifest(stage)
+        if m is None or m.get("key_col") != key_col:
+            return df, False
+        if params is not None and m["params_hash"] != _params_hash(params):
+            return df, False
+        committed = self.read(spark, stage).select(key_col).distinct()
+        return df.join(committed, key_col, "left_anti"), True
+
     def resume_filter(
         self, spark: SparkSession, df: DataFrame, stage: str, key_col: str,
         params: dict | None = None,
@@ -133,13 +149,8 @@ class SnapshotStore:
         of `stage` — the ref:bygningsnr idempotence semantics. When the
         stage has no snapshot, or was committed with DIFFERENT params, the
         full df passes (changed params = a different computation)."""
-        m = self.manifest(stage)
-        if m is None or m.get("key_col") != key_col:
-            return df
-        if params is not None and m["params_hash"] != _params_hash(params):
-            return df
-        committed = self.read(spark, stage).select(key_col).distinct()
-        return df.join(committed, key_col, "left_anti")
+        out, _ = self._resume(spark, df, stage, key_col, params=params)
+        return out
 
     def incremental_commit(
         self,
@@ -151,11 +162,16 @@ class SnapshotStore:
     ) -> tuple[str, int]:
         """resume_filter + commit of only the new keys, unioned with the
         previous snapshot → the new snapshot is complete AND the increment
-        was computed only for new rows. Returns (snapshot_id, n_new)."""
+        was computed only for new rows. Returns (snapshot_id, n_new).
+
+        When params/key_col changed (resumed=False), the previous snapshot
+        is a DIFFERENT computation: the new snapshot is df alone — unioning
+        would duplicate every previously committed key (old-params row +
+        recomputed row) and double-count downstream."""
         spark = df.sparkSession
-        new_rows = self.resume_filter(spark, df, stage, key_col, params=params)
+        new_rows, resumed = self._resume(spark, df, stage, key_col, params=params)
         n_new = new_rows.count()
-        prev = self.read(spark, stage)
+        prev = self.read(spark, stage) if resumed else None
         merged = new_rows if prev is None else prev.unionByName(new_rows)
         prev_id = self.latest(stage)
         sid = self.commit(
@@ -163,6 +179,6 @@ class SnapshotStore:
             stage,
             key_col=key_col,
             params=params,
-            inputs=[prev_id] if prev_id else [],
+            inputs=[prev_id] if prev_id and resumed else [],
         )
         return sid, n_new

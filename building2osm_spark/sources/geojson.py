@@ -40,7 +40,14 @@ def write_geojson(
         props = {}
         if tags_col:
             for k, v in (r[tags_col] or {}).items():
-                if keep_uppercase or not k.isupper():
+                # k == k.upper() (not isupper(): letterless keys count as
+                # uppercase in the reference) with the TYPE/STATUS/DATE
+                # exemption of building2osm.py:1309.
+                if (
+                    keep_uppercase
+                    or k != k.upper()
+                    or k in ("TYPE", "STATUS", "DATE")
+                ):
                     props[k] = v
         props.setdefault("ref:bygningsnr", r[ref_col])
         features.append(

@@ -36,7 +36,15 @@ def incremental_foreach_batch(
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = transform(batch_df) if transform is not None else batch_df
+        # Filter committed keys FIRST, then transform: the stage transform
+        # only ever touches new rows (the reference's resume never
+        # recomputes committed buildings, building_merge.py:659-674).
+        # incremental_commit re-filters afterwards — a no-op on these rows
+        # — so idempotence holds even under foreachBatch replay.
+        new_rows = store.resume_filter(
+            batch_df.sparkSession, batch_df, stage, key_col, params=params
+        )
+        out = transform(new_rows) if transform is not None else new_rows
         store.incremental_commit(out, stage, key_col, params=params)
 
     return body

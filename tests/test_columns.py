@@ -53,7 +53,10 @@ def test_distance_col_matches_kernel(spark):
 
 
 def test_format_decimal_matches_reference(spark):
-    vals = [0.0, 1.0, 1.25, 1.201, 99.99, 100.04, 0.06, 3.0, None]
+    # 0.15/0.35/12.25 are the JVM-vs-CPython divergence cases: shortest-repr
+    # HALF_UP vs exact-binary half-even (see format_decimal_col docstring)
+    vals = [0.0, 1.0, 1.25, 1.201, 99.99, 100.04, 0.06, 3.0, None,
+            0.15, 0.25, 0.35, 0.45, 0.75, 12.25, -0.25, -1.25, 2.5]
     df = spark.createDataFrame([(v,) for v in vals], schema="x double")
     got = [r[0] for r in df.select(format_decimal_col(F.col("x"))).collect()]
     for v, g in zip(vals, got):

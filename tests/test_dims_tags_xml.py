@@ -80,6 +80,8 @@ def test_tagged_flag_and_debug_drop(spark):
             ({"building": "yes", "source": "s", "addr:street": "x"},),
             ({"building": "yes", "name": "T"},),
             ({"building": "yes", "DEBUG_X": "1", "VERIFY_Y": "2"},),
+            ({"building": "yes", "TYPE": "v1", "STATUS": "ib",
+              "DATE": "2020-01-02", "SEFRAK": "x"},),
         ],
         schema="tags map<string,string>",
     )
@@ -87,8 +89,14 @@ def test_tagged_flag_and_debug_drop(spark):
         tagged_flag(F.col("tags")).alias("tagged"),
         drop_debug_tags(F.col("tags")).alias("clean"),
     ).collect()
-    assert [r["tagged"] for r in rows] == [False, True, True]
+    assert [r["tagged"] for r in rows] == [False, True, True, True]
     assert "DEBUG_X" not in rows[2]["clean"]
+    # TYPE/STATUS/DATE are deliberate output properties, exempted from the
+    # uppercase drop (building2osm.py:1309); other uppercase keys still go
+    clean3 = rows[3]["clean"]
+    assert clean3["TYPE"] == "v1" and clean3["STATUS"] == "ib"
+    assert clean3["DATE"] == "2020-01-02"
+    assert "SEFRAK" not in clean3
 
 
 def test_osm_xml_sink(spark, tmp_path):

@@ -84,13 +84,75 @@ def test_snapshot_commit_and_resume(spark, tmp_path):
     assert filtered.count() == 10  # params differ → nothing filtered
 
 
+def test_changed_params_commit_is_fresh_not_union(spark, tmp_path):
+    """Changed params must produce a FRESH snapshot: unioning with the
+    old-params snapshot would commit every previously committed key twice
+    (old-params row + recomputed row) and double-count downstream."""
+    store = SnapshotStore(str(tmp_path / "snap2"))
+    df1 = spark.range(100).select(F.col("id").alias("ref"), F.lit(1).alias("v"))
+    store.incremental_commit(df1, "stage_b", "ref", params={"p": 1})
+
+    df2 = spark.range(100).select(F.col("id").alias("ref"), F.lit(2).alias("v"))
+    sid2, n2 = store.incremental_commit(df2, "stage_b", "ref", params={"p": 2})
+    assert n2 == 100
+    final = store.read(spark, "stage_b")
+    assert final.count() == 100  # not 200: old-params rows are NOT unioned
+    assert final.select("ref").distinct().count() == 100
+    assert final.agg(F.min("v"), F.max("v")).collect()[0] == (2, 2)
+    # lineage does not claim the old-params snapshot as an input prefix
+    assert store.manifest("stage_b")["inputs"] == []
+
+    # same-params re-run over the fresh snapshot still resumes normally
+    df3 = spark.range(50, 150).select(F.col("id").alias("ref"), F.lit(2).alias("v"))
+    _, n3 = store.incremental_commit(df3, "stage_b", "ref", params={"p": 2})
+    assert n3 == 50
+    assert store.read(spark, "stage_b").count() == 150
+
+
+def test_salt_is_deterministic_row_content(spark, skewed_points):
+    """The salt must be a pure function of row content (retry safety,
+    SPARK-23207 class): recomputing the same input yields the identical
+    (row → salt) assignment."""
+    with_cell = skewed_points.withColumn("cell", F.lit(0))
+    a = salted_repartition(with_cell, salt_buckets=8, hot_threshold=1000)
+    b = salted_repartition(with_cell, salt_buckets=8, hot_threshold=1000)
+    sa = {r["image_id"]: r["salt"] for r in a.select("image_id", "salt").collect()}
+    sb = {r["image_id"]: r["salt"] for r in b.select("image_id", "salt").collect()}
+    assert sa == sb
+    assert len(set(sa.values())) > 1  # hot cell actually spread
+
+
+def test_foreach_batch_transform_touches_only_new_keys(spark, tmp_path):
+    """incremental_foreach_batch filters committed keys BEFORE the stage
+    transform (building_merge.py:659-674 resume semantics): the transform
+    must never see already-committed keys."""
+    from building2osm_spark.streaming.incremental import incremental_foreach_batch
+
+    store = SnapshotStore(str(tmp_path / "snap3"))
+    df1 = spark.range(100).select(F.col("id").alias("ref"), F.lit(1).alias("v"))
+    store.incremental_commit(df1, "stage_c", "ref")
+
+    seen: list[int] = []
+
+    def spy_transform(df):
+        seen.extend(r["ref"] for r in df.select("ref").collect())
+        return df
+
+    body = incremental_foreach_batch(store, "stage_c", "ref", transform=spy_transform)
+    batch = spark.range(80, 120).select(F.col("id").alias("ref"), F.lit(1).alias("v"))
+    body(batch, 0)
+    assert sorted(seen) == list(range(100, 120))  # committed 80..99 skipped
+    assert store.read(spark, "stage_c").count() == 120
+
+
 def test_geojson_roundtrip(spark, tmp_path):
     from building2osm_spark.sources.geojson import read_geojson, write_geojson
 
     df = spark.createDataFrame(
         [
             ("2", [[[10.0, 59.0], [10.1, 59.0], [10.1, 59.1], [10.0, 59.0]]],
-             {"building": "house", "DEBUG_X": "1"}),
+             {"building": "house", "DEBUG_X": "1",
+              "TYPE": "v1", "STATUS": "ib", "DATE": "2020-01-02"}),
             ("1", [[[11.0, 59.0], [11.1, 59.0], [11.1, 59.1], [11.0, 59.0]]],
              {"building": "barn"}),
         ],
@@ -100,9 +162,13 @@ def test_geojson_roundtrip(spark, tmp_path):
     n = write_geojson(df, path)
     assert n == 2
     data = json.load(open(path))
-    # ordered by ref; uppercase keys dropped
+    # ordered by ref; uppercase keys dropped EXCEPT the deliberate output
+    # properties TYPE/STATUS/DATE (building2osm.py:1309)
     assert [f["properties"]["ref:bygningsnr"] for f in data["features"]] == ["1", "2"]
-    assert "DEBUG_X" not in data["features"][1]["properties"]
+    props2 = data["features"][1]["properties"]
+    assert "DEBUG_X" not in props2
+    assert props2["TYPE"] == "v1" and props2["STATUS"] == "ib"
+    assert props2["DATE"] == "2020-01-02"
 
     back = read_geojson(spark, path)
     assert back.count() == 2
