@@ -22,7 +22,7 @@ from ..operators.cover_join import assign_points_to_polygons
 from ..operators.geometry_passes import rectify_and_simplify
 from ..operators.knn import knn_join
 from ..sources.checkpoint import SnapshotStore
-from ..sources.dims import building_types, enrich_building_tags
+from ..sources.dims import building_types, compose_output_tags, enrich_building_tags
 from ..sources.fixtures import image_location
 
 
@@ -113,7 +113,7 @@ def municipality_pipeline(spark: SparkSession, buildings: DataFrame) -> DataFram
     from ..functions.udfs import round7_geometry_udf, wkb_udf
 
     types = building_types(spark)
-    enriched = enrich_building_tags(buildings, types)
+    enriched = compose_output_tags(enrich_building_tags(buildings, types))
     passes = rectify_and_simplify(enriched.select("ref", "geometry"))
     out = (
         enriched.drop("geometry")

@@ -10,7 +10,7 @@ name match wins; else a UNIQUE substring match; else the input itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # synthetic subset of building_types.csv (same shape: id;name;osm_tag,
@@ -67,6 +67,53 @@ def enrich_building_tags(
         type_col,
         "left",
     )
+
+
+def compose_output_tags(enriched: DataFrame, tags_col: str = "tags") -> DataFrame:
+    """F19: fold the deliberate output properties into the tag map, exactly
+    the emission of building2osm.py:637-665:
+
+      TYPE    '#<code> <name>' when the code is known, else '#<code>'
+      STATUS  '#<code> <status name>' (status_codes, building2osm.py:54-65)
+      DATE    date[:10] when present
+      heritage 'yes' when the heritage flag is true
+      SEFRAK  the sefrak ident when present
+
+    TYPE/STATUS/DATE survive the uppercase cleanup (building2osm.py:1309 /
+    operators.tags.drop_debug_tags); SEFRAK only under the `original` flag.
+    All map surgery is native (create_map + map_filter of null values +
+    LAST_WIN map_concat)."""
+    from ..constants import STATUS_CODES
+
+    cols = set(enriched.columns)
+
+    def opt(name: str) -> Column:
+        return F.col(name) if name in cols else F.lit(None).cast("string")
+
+    status_name = F.element_at(
+        F.create_map(*[F.lit(x) for kv in STATUS_CODES.items() for x in kv]),
+        opt("status"),
+    )
+    extras = F.create_map(
+        F.lit("TYPE"),
+        F.when(
+            opt("name").isNotNull(),
+            F.concat(F.lit("#"), opt("building_type"), F.lit(" "), opt("name")),
+        ).otherwise(F.concat(F.lit("#"), opt("building_type"))),
+        F.lit("STATUS"),
+        F.concat(F.lit("#"), opt("status"), F.lit(" "), status_name),
+        F.lit("DATE"),
+        F.substring(opt("date"), 1, 10),
+        F.lit("heritage"),
+        F.when(
+            opt("heritage").cast("boolean"), F.lit("yes")
+        ),
+        F.lit("SEFRAK"),
+        opt("sefrak"),
+    )
+    present = F.map_filter(extras, lambda _, v: v.isNotNull())
+    base = F.coalesce(F.col(tags_col), F.create_map().cast("map<string,string>"))
+    return enriched.withColumn(tags_col, F.map_concat(base, present))
 
 
 # -- municipalities ---------------------------------------------------------

@@ -39,6 +39,33 @@ def test_enrich_join_broadcast(spark):
     assert known.count() > 0
 
 
+def test_compose_output_tags(spark):
+    """TYPE/STATUS/DATE/heritage/SEFRAK emission — building2osm.py:637-665."""
+    from building2osm_spark.sources.dims import compose_output_tags
+
+    b = spark.createDataFrame(
+        [
+            ("r1", "111", "FA", "2020-05-06T12:00:00", True, "1234-0001-2"),
+            ("r2", "XYZ", "RA", None, False, None),  # unknown type code
+        ],
+        schema="ref string, building_type string, status string, "
+               "date string, heritage boolean, sefrak string",
+    )
+    out = compose_output_tags(enrich_building_tags(b, building_types(spark)))
+    rows = {r["ref"]: r["tags"] for r in out.collect()}
+    t1 = rows["r1"]
+    assert t1["TYPE"] == "#111 Enebolig"
+    assert t1["STATUS"] == "#FA Ferdigattest"
+    assert t1["DATE"] == "2020-05-06"
+    assert t1["heritage"] == "yes"
+    assert t1["SEFRAK"] == "1234-0001-2"
+    assert t1["building"] == "house"
+    t2 = rows["r2"]
+    assert t2["TYPE"] == "#XYZ"  # unknown code: bare '#<code>'
+    assert t2["STATUS"] == "#RA Rammetillatelse"
+    assert "DATE" not in t2 and "heritage" not in t2 and "SEFRAK" not in t2
+
+
 def test_resolve_municipality_parity(spark):
     munis = municipalities(spark)
     ref = __import__("tests.conftest", fromlist=["import_reference"]).import_reference(
