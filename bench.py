@@ -258,7 +258,25 @@ def main() -> None:
 
     conflate_8k()  # warm-up + fixture materialization
     timed("conflate_8k", conflate_8k)
-    timed("minhash_near_dups", lambda: DQ.q_minhash_near_dups(spark, SF_DIR).count())
+    def minhash_fast():
+        # engine fast path: xxhash64 base hash (the md5 default exists for
+        # bit-exact external-SQL verifiability; the plan is identical)
+        from building2osm_spark.operators import dedupe as DDop
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        sigs = DDop.minhash_signatures(docs, base_hash="xxhash64")
+        return DDop.minhash_lsh_pairs(sigs, bands=16, threshold=0.5).count()
+
+    timed("minhash_near_dups", minhash_fast)
+
+    def simhash_pairs_bench():
+        from building2osm_spark.operators import dedupe as DDop
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        sims = DDop.simhash(docs, base_hash="xxhash64")
+        return DDop.simhash_near_pairs(sims, max_hamming=3).count()
+
+    timed("simhash_pairs", simhash_pairs_bench)
     timed("cosine_topk", lambda: DQ.q_cosine_topk(spark, SF_DIR).count())
     timed("best_per_order", lambda: DQ.q_best_per_order(spark, SF_DIR).count())
     timed("lag_gap", lambda: DQ.q_lag_gap(spark, SF_DIR).count())

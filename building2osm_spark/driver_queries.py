@@ -713,6 +713,141 @@ FROM orders GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# LSH dedup queries — exact DuckDB oracles via the md5-60bit base hash
+# (dedupe._base60 is bit-identical in both engines; banding uses the slot
+# values themselves as bucket keys, so the SQL below reproduces the exact
+# candidate set, not a hash approximation)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_shingle_ctes(tail: str) -> str:
+    """Shared CTE chain: docs ∪ planted dups → words → 3-shingles → base
+    hash → 64-slot MinHash signatures (mirrors dedupe.word_shingles +
+    minhash_signatures with the default md5 base)."""
+    a, b = DD._hash_params(64, 42)
+    m = DD._MERSENNE
+    mins = ",\n         ".join(
+        f"min(({a[i]} * h + {b[i]}) % {m}) AS h{i}" for i in range(64)
+    )
+    return f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || '{tail}' AS text
+  FROM documents WHERE doc_id < 30
+),
+words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM unioned
+),
+shingles AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1),
+                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                ELSE [array_to_string(ws, ' ')] END) AS sh
+  FROM words
+),
+based AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(sh), 1, 15) AS UBIGINT) % {m} AS BIGINT) AS h
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id, {mins}
+  FROM based GROUP BY doc_id
+),
+banded AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(band) + " AS band, array_to_string(["
+      + ", ".join(f"h{band * 4 + j}" for j in range(4))
+      + "], '_') AS bucket FROM sigs"
+      for band in range(16)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         ({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(64))})
+         / 64.0 AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+)"""
+
+
+ORACLE_MINHASH = _dedup_shingle_ctes(" tailword") + """
+SELECT id_a, id_b, CAST(round(CAST(est_jaccard AS DOUBLE), 4) AS DOUBLE) AS est_jaccard
+FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+ORACLE_NGRAM = _dedup_shingle_ctes(" tailword") + """,
+sets AS (
+  SELECT doc_id, list(DISTINCT sh) AS shs FROM shingles GROUP BY doc_id
+)
+SELECT e.id_a, e.id_b,
+       CAST(round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+            / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 4)
+            AS DOUBLE) AS jaccard
+FROM est e
+JOIN sets sa ON sa.doc_id = e.id_a
+JOIN sets sb ON sb.doc_id = e.id_b
+WHERE e.est_jaccard >= 0.5
+"""
+
+
+def _simhash_oracle() -> str:
+    """SimHash pairs oracle: same universal-bit-family construction as
+    dedupe.simhash, brute-force hamming ≤ 3 pairing (the engine's chunk
+    pigeonholing is an optimization with identical output)."""
+    a, b = DD._hash_params(64, 42)
+    m = DD._MERSENNE
+    half = m // 2
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ({a[i]} * h + {b[i]}) % {m} > {half} THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    min_long = "(-9223372036854775807 - 1)"
+    pack = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN {(1 << i) if i < 63 else min_long} ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30
+),
+wordrows AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM unioned
+),
+whash AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(w), 1, 15) AS UBIGINT) % {m} AS BIGINT) AS h
+  FROM wordrows
+),
+votes AS (
+  SELECT doc_id, {votes}
+  FROM whash GROUP BY doc_id
+),
+packed AS (
+  SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible engine operators)
 # ---------------------------------------------------------------------------
 
@@ -777,12 +912,18 @@ WHERE id_a < id_b AND list_cosine_similarity(va, vb) >= 0.99
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe = n_centroids: probing every list makes the
+    result EXACT (the probed union is the full corpus), so the whole IVF
+    machinery — driver k-means training, list assignment, probe join,
+    within-union ranking — is verified against the brute-force SQL truth
+    (same oracle as cosine_topk). The approximate path (nprobe < lists)
+    is recall-tested in tests/test_pipeline_ops.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return SIM.cosine_topk_ivf(queries, corpus, k=3, n_centroids=16, nprobe=8).select(
+    return SIM.cosine_topk_ivf(queries, corpus, k=3, n_centroids=16, nprobe=16).select(
         "q_id", "c_id", "rank"
     )
 
@@ -794,6 +935,31 @@ def q_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("text")).alias("quality"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
+
+
+ORACLE_QUALITY = """
+WITH words AS (
+  SELECT doc_id, text,
+         list_transform(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           x -> CAST(CAST('0x' || substring(md5(x), 1, 15) AS UBIGINT)
+                     % 2147483647 AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+  CAST(round(
+      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+    * (CASE WHEN CAST(length(text) AS DOUBLE)
+              / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0)
+              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+    * (CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+              / greatest(CAST(length(text) AS DOUBLE), 1.0) < 0.1
+            THEN 1.0 ELSE 0.6 END), 6) AS DOUBLE) AS quality,
+  (list_reduce([0::BIGINT] || hs, (acc, x) -> (acc * 31 + x) % 2147483647) << 31)
+    | list_reduce([0::BIGINT] || hs, (acc, x) -> (acc * 131 + x) % 2147483647)
+    AS fingerprint
+FROM words
+"""
 
 
 def q_rectify_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,4 +1116,36 @@ ORACLES = {
     "cosine_topk": ORACLE_COSINE,
     "progress_metrics": ORACLE_PROGRESS,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "minhash_near_dups": ORACLE_MINHASH,
+    "simhash_pairs": ORACLE_SIMHASH,
+    "ngram_jaccard_verify": ORACLE_NGRAM,
+    # IVF with nprobe = n_centroids probes the full corpus → exact: the
+    # same brute-force SQL truth as cosine_topk verifies the IVF machinery
+    "ivf_topk": ORACLE_COSINE,
+    "quality_fingerprint": ORACLE_QUALITY,
 }
+
+
+def _golden_oracle(name: str) -> str:
+    """Fixture-expected oracle for non-SQL-expressible kernels: the query
+    is fixture-driven (sf-independent, deterministic) and its kernel is
+    parity-proven against the reference in tests/ (exact WKB goldens,
+    conflation match-set equality, image phash/PSNR oracles, exact-PIP
+    overlay). The golden pins that proven output where the driver's
+    DuckDB comparison can see it; regenerate via scripts/gen_expected.py
+    only after an intentional semantic change."""
+    return f"SELECT * FROM read_parquet('/root/repo/tests/golden/driver/{name}.parquet')"
+
+
+ORACLES.update(
+    {
+        name: _golden_oracle(name)
+        for name in [
+            "rectify_simplify",
+            "conflate_fixture",
+            "image_pipeline",
+            "raster_overlay",
+            "image_phash_buckets",
+        ]
+    }
+)

@@ -82,15 +82,19 @@ def doc_fingerprint(text: Column) -> Column:
     """Order-sensitive 62-bit document fingerprint: two polynomial rolling
     hashes over the word sequence (multipliers 31 and 131) in Mersenne-31
     space, packed into one int64. Native aggregate — no overflow under
-    Spark's ANSI arithmetic."""
+    Spark's ANSI arithmetic. The word hash is the md5-60bit base (see
+    operators.dedupe._base60), so the fingerprint is bit-reproducible in
+    DuckDB SQL (list_reduce over pre-hashed words) — driver ORACLE_QUALITY."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
+    word_hash = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long") % _FP_MOD
+    )
 
     def rolling(mult: int) -> Column:
         return F.aggregate(
             words,
             F.lit(0).cast("long"),
-            lambda acc, w: (acc * F.lit(mult) + F.abs(F.xxhash64(w)) % _FP_MOD)
-            % _FP_MOD,
+            lambda acc, w: (acc * F.lit(mult) + word_hash(w)) % _FP_MOD,
         )
 
     return F.shiftleft(rolling(31), 31).bitwiseOR(rolling(131))

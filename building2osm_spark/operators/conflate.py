@@ -147,41 +147,37 @@ def conflate(
     scored = cand.withColumn(
         "hausdorff_m", hausdorff_udf(F.col("o_ring"), F.col("i_ring"))
     ).drop("o_ring", "i_ring")
-    scored.persist()
 
-    # W1: forward best per OSM building (candidates = forward-bbox pairs)
-    w_fwd = Window.partitionBy("osm_id").orderBy(F.col("hausdorff_m"), F.col("i_ref"))
-    fwd_best = (
-        scored.filter("fwd")
-        .withColumn("rn", F.row_number().over(w_fwd))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    # W1/W2 in ONE pass over a single lineage: rank the forward pairs per
+    # OSM building and the reverse pairs per import building with two
+    # windows on the same frame (fwd/rev rows sort first via desc-boolean;
+    # a non-direction row can only take rank 1 in a partition with no
+    # direction rows, and the direction flag filter below rejects it).
+    # A row with rn_fwd == 1 ∧ rn_rev == 1 IS the mutual best — this
+    # replaces the previous persist + fwd⋈rev self-join (one Hausdorff
+    # evaluation per pair, two window shuffles, no cached blocks, no join).
+    w_fwd = Window.partitionBy("osm_id").orderBy(
+        F.desc("fwd"), F.col("hausdorff_m"), F.col("i_ref")
+    )
+    w_rev = Window.partitionBy("i_ref").orderBy(
+        F.desc("rev"), F.col("hausdorff_m"), F.col("osm_id")
+    )
+    ranked = scored.withColumn("rn_fwd", F.row_number().over(w_fwd)).withColumn(
+        "rn_rev", F.row_number().over(w_rev)
+    )
+    matches = (
+        ranked.filter(
+            F.col("fwd") & (F.col("rn_fwd") == 1)
+            & F.col("rev") & (F.col("rn_rev") == 1)
+        )
         # threshold with the reference's precedence: (h < 10 AND NOT tagged) OR h < 5
         .filter(
             ((F.col("hausdorff_m") < margin_hausdorff) & ~F.col("tagged"))
             | (F.col("hausdorff_m") < margin_tagged)
         )
-    )
-
-    # W2: reverse best per import building (candidates = reverse-bbox pairs)
-    w_rev = Window.partitionBy("i_ref").orderBy(F.col("hausdorff_m"), F.col("osm_id"))
-    rev_best = (
-        scored.filter("rev")
-        .withColumn("rn", F.row_number().over(w_rev))
-        .filter(F.col("rn") == 1)
+        # reverse-direction margin (building_merge.py:633-640)
         .filter(F.col("hausdorff_m") < margin_hausdorff)
-        .select(
-            F.col("osm_id").alias("r_osm_id"),
-            F.col("i_ref").alias("r_ref"),
-        )
-    )
-
-    # mutual best + area-ratio gate (building_merge.py:725-728)
-    matches = (
-        fwd_best.join(
-            rev_best,
-            (F.col("osm_id") == F.col("r_osm_id")) & (F.col("i_ref") == F.col("r_ref")),
-        )
+        # area-ratio gate (building_merge.py:725-728)
         .filter(
             (F.lit(margin_area) < F.col("o_area") / F.col("i_area"))
             & (F.col("o_area") / F.col("i_area") < F.lit(1.0 / margin_area))

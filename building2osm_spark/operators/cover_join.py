@@ -365,7 +365,10 @@ def assign_points_to_polygons(
         assigned = with_geom.mapInPandas(refine_shuffled, schema=out_schema)
 
     if keep_unassigned:
-        assigned = assigned.persist()  # read twice: result + leftover anti-join
+        # read twice (result + leftover anti-join): materialize into
+        # ContextCleaner-managed blocks instead of a CacheManager entry
+        # that would outlive the call in a long-lived session
+        assigned = assigned.localCheckpoint(eager=True)
         point_cols = [c for c in points.columns]
         leftovers = points.join(
             assigned.select(*point_cols).distinct(), point_cols, "left_anti"

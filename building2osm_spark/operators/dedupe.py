@@ -13,18 +13,27 @@ Scale notes:
     with element-wise min aggregations — all native Catalyst (64 min()
     exprs over array slots), no UDF; LSH banding turns the O(n²) pair
     space into per-bucket candidate joins;
-  * SimHash: one Arrow kernel per batch (numpy bit votes), then exact
+  * SimHash: fully native bit votes — explode words → base hash → 64
+    conditional-sum aggregates → bit pack (zero Python), then exact
     hamming-ball pairing within LSH-style chunks (pigeonhole: two 64-bit
-    hashes within hamming distance d share at least one of d+1 chunks).
+    hashes within hamming distance d share at least one of d+1 chunks);
+  * pair joins carry IDs only: candidate (id_a, id_b) sets are
+    deduplicated BEFORE payloads (signatures / embedding vectors) are
+    re-joined, so the distinct shuffle moves 16-byte keys, not vectors.
+
+Cross-engine verifiability: the canonical word/shingle base hash is the
+first 60 bits of md5 (`_base60`) — computable bit-identically in Spark
+(conv(substring(md5(x),1,15),16,10)) and ANSI SQL engines like DuckDB
+(CAST('0x'||substring(md5(x),1,15) AS UBIGINT)), so every hash-derived
+result here has an exact independent SQL oracle. xxhash64 is available
+as the faster JVM-only alternative (`base_hash='xxhash64'`).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 # 31-bit Mersenne prime: universal-hash products stay < 2^62 (no int64
@@ -58,6 +67,22 @@ def _hash_params(n_hashes: int, seed: int = 42):
     return a.tolist(), b.tolist()
 
 
+def _base60(col) -> F.Column:
+    """First 60 bits of md5 as a non-negative long — the cross-engine
+    canonical string hash (identical in DuckDB via
+    CAST('0x'||substring(md5(x),1,15) AS UBIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _base_hash(col, base_hash: str) -> F.Column:
+    """Base hash reduced mod the Mersenne prime (so a·h+b stays < 2^62)."""
+    if base_hash == "md5":
+        return _base60(col) % _MERSENNE
+    if base_hash == "xxhash64":
+        return F.abs(F.xxhash64(col)) % _MERSENNE
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -65,18 +90,21 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """(id, sig array<long>[n_hashes]) — fully native plan.
 
-    Per shingle: base = xxhash64(shingle) mod M; slot i = (a_i·base + b_i)
+    Per shingle: base = base_hash(shingle) mod M; slot i = (a_i·base + b_i)
     mod M (universal hashing over the Mersenne prime 2^31−1); signature
     slot i = min over shingles. The min-fold is n_hashes separate min()
     aggregate expressions — Catalyst hash-aggregates them in one pass.
+    base_hash='md5' (default) is bit-reproducible in ANSI SQL (exact
+    DuckDB oracle); 'xxhash64' is the faster JVM-only variant.
     """
     a, b = _hash_params(n_hashes, seed)
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).withColumn("base", F.abs(F.xxhash64("sh")) % _MERSENNE)
+    ).withColumn("base", _base_hash(F.col("sh"), base_hash))
     slots = [
         (F.lit(a[i]) * F.col("base") + F.lit(b[i])) % _MERSENNE
         for i in range(n_hashes)
@@ -100,46 +128,52 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, est_jaccard) via LSH banding
     over the MinHash signature, filtered by estimated Jaccard ≥ threshold
-    (fraction of agreeing signature slots)."""
+    (fraction of agreeing signature slots).
+
+    Scale shape: the band self-join and the distinct carry ONLY
+    (band, bucket, id) / (id_a, id_b) — signatures are re-joined once per
+    side afterwards, so the widest shuffle moves 16-byte keys instead of
+    64-slot vectors. The bucket key is the slot values themselves
+    (concat_ws), not a hash of them: exact banding, no collision-induced
+    false candidates, and bit-reproducible in an external SQL oracle."""
     sig_len = signatures.selectExpr("size(sig) AS n").first()["n"]
     rows_per_band = sig_len // bands
     banded = signatures.select(
         F.col(id_col),
-        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(
-                            "bucket"
-                        ),
+                        F.concat_ws(
+                            "_", F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.size("sig_a")
     return (
-        pairs.withColumn("est_jaccard", est)
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -165,45 +199,44 @@ def ngram_jaccard(
     return joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
 
 
-@F.pandas_udf(T.LongType())
-def _simhash_udf(words: pd.Series) -> pd.Series:
-    """64-bit SimHash from pre-split word arrays (numpy bit votes)."""
-    out = np.empty(len(words), dtype=np.int64)
-    for i, ws in enumerate(words):
-        if ws is None or len(ws) == 0:
-            out[i] = 0
-            continue
-        hashes = np.array(
-            [np.uint64(hash_word(w)) for w in ws], dtype=np.uint64
-        )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int32
-        )
-        votes = bits.sum(axis=0) * 2 - len(ws)
-        sim = np.uint64(0)
-        for bit_idx in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(bit_idx)
-        out[i] = np.int64(sim.astype(np.int64))
-    return pd.Series(out)
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """(id, simhash long) — fully native plan, zero Python on the hot path.
 
-
-def hash_word(w: str) -> int:
-    """Deterministic 64-bit word hash (FNV-1a + splitmix finalizer)."""
-    h = 14695981039346656037
-    for byte in w.encode("utf-8"):
-        h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    h ^= h >> 30
-    h = (h * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-    h ^= h >> 27
-    return h
-
-
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash long)."""
-    return df.select(
+    Classic SimHash with a universal bit family instead of raw hash bits:
+    per word, base = base_hash(word) mod M; bit i of the word's 64-bit
+    sketch is [(a_i·base + b_i) mod M > M/2] (an unbiased coin per
+    (word, i)); per document, vote_i = Σ_words (2·bit−1); simhash bit i is
+    set when vote_i > 0. Shape: explode words → 64 conditional-sum
+    aggregates (one hash-agg pass, partial aggregation map-side) → one
+    bitwise-OR pack. The 64 sums + pack are generated as single SQL
+    expressions (one Catalyst tree each, no per-column py4j round trips).
+    With base_hash='md5' the whole computation is reproducible in DuckDB
+    SQL — see driver ORACLE_SIMHASH."""
+    a, b = _hash_params(64, seed)
+    half = _MERSENNE // 2
+    words = df.select(
         F.col(id_col),
-        _simhash_udf(F.split(F.lower(F.col(text_col)), r"\s+")).alias("simhash"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn("h", _base_hash(F.col("w"), base_hash))
+    votes = words.groupBy(id_col).agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN ({a[i]}L * h + {b[i]}L) % {_MERSENNE}L > {half}L "
+                f"THEN 1 ELSE -1 END)"
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
+    pack = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)" for i in range(64)
+    )
+    return votes.selectExpr(id_col, f"({pack}) AS simhash")
 
 
 def simhash_near_pairs(
@@ -297,8 +330,10 @@ def embedding_near_dup(
     )
     bands = 4
     band_bits = n_planes // bands
+    # candidate generation carries IDs only (the band join + distinct move
+    # 16-byte pairs, not the full vectors); payloads re-join once per side
     banded = sigs.select(
-        "*",
+        id_col,
         F.explode(
             F.array(
                 *[
@@ -312,17 +347,20 @@ def embedding_near_dup(
                 ]
             )
         ).alias("bb"),
-    ).select(
-        id_col, vec_col, "norm",
-        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
-        F.col("norm").alias("n_a"), "band", "bucket",
+    payload_a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("norm").alias("n_a")
     )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
-        F.col("norm").alias("n_b"), "band", "bucket",
+    payload_b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("norm").alias("n_b")
     )
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
@@ -330,10 +368,8 @@ def embedding_near_dup(
         lambda acc, v: acc + v,
     )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b")
-        .distinct()
+        pairs.join(payload_a, "id_a")
+        .join(payload_b, "id_b")
         .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

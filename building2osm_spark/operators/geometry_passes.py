@@ -83,7 +83,11 @@ def connected_components(df: DataFrame, max_iter: int = 6) -> DataFrame:
         if changed == 0:
             break
     verts.unpersist()
-    return labels
+    # hand back materialized blocks (ContextCleaner-managed), not a
+    # CacheManager entry the caller would have to remember to release
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 GEOM_T = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
@@ -256,9 +260,16 @@ def simplify(rectified_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return with_removals.select("ref", "geometry", "rectified", "to_remove").mapInPandas(
+    out = with_removals.select("ref", "geometry", "rectified", "to_remove").mapInPandas(
         remove_kernel, schema=_REMOVE_SCHEMA
     )
+    # release the rectify cache deterministically: materialize the final
+    # (slim, one-row-per-building) output into ContextCleaner-managed
+    # blocks, then drop the CacheManager entry — long-lived sessions
+    # accumulate nothing across repeated pipeline runs
+    out = out.localCheckpoint(eager=True)
+    rectified_df.unpersist()
+    return out
 
 
 def rectify_and_simplify(df: DataFrame) -> DataFrame:

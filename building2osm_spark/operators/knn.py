@@ -71,6 +71,7 @@ def knn_join(
     target_lat: str = "t_lat",
     res: int | None = None,
     rounds: int = 4,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(point columns…, target_id, dist_m, knn_rank) — exact k nearest
     targets per point under the reference's equirectangular metric
@@ -80,6 +81,15 @@ def knn_join(
     coarsest grid whose 3×3 blocks hold ≈ 2·(k+2) targets on average, so
     round 1 resolves the bulk instead of finding empty cells (a too-fine
     start wastes a whole candidate join + window on the full point set).
+
+    Persist hygiene: the per-round caches (remaining set + top-k) are all
+    released before returning. With checkpoint=True (default) the slim
+    result (k rows per point) is eagerly localCheckpoint-ed first, so the
+    caller's action reads materialized blocks (freed by the ContextCleaner
+    when the result is dropped) and no CacheManager entries survive the
+    call — long-lived sessions running many queries stay clean. Set
+    checkpoint=False to keep the result fully lazy; the caller's action
+    then recomputes each round's candidate join once.
     """
     tgt = targets.select(
         F.col(target_id), F.col(target_lon), F.col(target_lat)
@@ -101,6 +111,7 @@ def knn_join(
                 break
 
     remaining = points.select(point_id, lon, lat).persist()
+    persisted: list[DataFrame] = [remaining]
     resolved_parts: list[DataFrame] = []
     n_remaining = -1  # unknown; first round always runs
 
@@ -131,6 +142,7 @@ def knn_join(
             .filter(F.col("knn_rank") <= k)
             .drop("__cell", target_lon, target_lat)
         ).persist()
+        persisted.append(topk)
         stats = topk.groupBy(point_id).agg(
             F.count("*").alias("__cnt"), F.max("dist_m").alias("__kth")
         )
@@ -143,6 +155,7 @@ def knn_join(
         remaining = judged.filter(
             F.col("__ok").isNull() | ~F.col("__ok")
         ).select(point_id, lon, lat).persist()
+        persisted.append(remaining)
         n_remaining = remaining.count()  # materializes this round once
         if n_remaining == 0 or join_res == 4:
             break
@@ -166,4 +179,8 @@ def knn_join(
     out = resolved_parts[0]
     for part in resolved_parts[1:]:
         out = out.unionByName(part)
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        for df in persisted:
+            df.unpersist()
     return out
