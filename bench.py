@@ -219,6 +219,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
     timings: dict[str, float] = {}
+    extras: dict[str, int] = {}
 
     def timed(name, fn):
         t0 = time.time()
@@ -258,6 +259,33 @@ def main() -> None:
 
     conflate_8k()  # warm-up + fixture materialization
     timed("conflate_8k", conflate_8k)
+
+    def conflate_city_100k():
+        # VERDICT #3: conflation at city scale with the central-Oslo skew
+        # (20% of 100k buildings in a dense core, ~100x per-cell density
+        # contrast). Candidate-join fan-out and pair counts are the
+        # at-scale risk; AQE skew-join splitting is the second defence.
+        from building2osm_spark.operators.conflate import conflate
+        from building2osm_spark.sources.fixtures import (
+            IMPORT_CONFLATE_SCHEMA,
+            OSM_CONFLATE_SCHEMA,
+            city_conflation_pdfs,
+        )
+
+        osm_p = "/tmp/bench_osm_city100k.parquet"
+        imp_p = "/tmp/bench_imp_city100k.parquet"
+        if not os.path.exists(os.path.join(osm_p, "_SUCCESS")):
+            osm_pdf, import_pdf = city_conflation_pdfs(100_000, urban_frac=0.2)
+            spark.createDataFrame(osm_pdf, schema=OSM_CONFLATE_SCHEMA).repartition(32).write.mode(
+                "overwrite").parquet(osm_p)
+            spark.createDataFrame(import_pdf, schema=IMPORT_CONFLATE_SCHEMA).repartition(32).write.mode(
+                "overwrite").parquet(imp_p)
+        n = conflate(spark.read.parquet(osm_p), spark.read.parquet(imp_p)).count()
+        extras["conflate_city_100k_matches"] = n
+        return n
+
+    conflate_city_100k()  # warm-up + fixture materialization
+    timed("conflate_city_100k", conflate_city_100k)
     def minhash_fast():
         # engine fast path: xxhash64 base hash (the md5 default exists for
         # bit-exact external-SQL verifiability; the plan is identical)
@@ -299,6 +327,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_points": n_flagship,
         "n_assigned": n_assigned,
+        **extras,
     }
     if not args.no_scaling:
         try:

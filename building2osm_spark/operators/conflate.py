@@ -90,21 +90,28 @@ def conflate(
     mutual-best accepted pair.
     """
     # J4: drop already-imported refs; skip OSM buildings already reffed
-    imp = anti_join_earlier_imports(imports, osm).select(
+    # Ring payloads are split off the candidate path: the 9-cell exploded
+    # join and the bbox filter move only (id, centre, area, flag) tuples —
+    # in a dense city block each OSM building meets O(100) candidates, and
+    # shuffling ring geometry per candidate would dominate the stage. The
+    # rings re-join once per SURVIVING pair (≈1 per building) below.
+    imp_all = anti_join_earlier_imports(imports, osm)
+    imp = imp_all.select(
         F.col("ref").alias("i_ref"),
-        F.col("ring").alias("i_ring"),
         F.col("c_lon").alias("i_lon"),
         F.col("c_lat").alias("i_lat"),
         F.col("area").alias("i_area"),
     )
-    o = osm.filter(F.col("ref_tag").isNull()).select(
+    i_rings = imp_all.select(F.col("ref").alias("i_ref"), F.col("ring").alias("i_ring"))
+    o_all = osm.filter(F.col("ref_tag").isNull())
+    o = o_all.select(
         "osm_id",
-        F.col("ring").alias("o_ring"),
         F.col("c_lon").alias("o_lon"),
         F.col("c_lat").alias("o_lat"),
         F.col("area").alias("o_area"),
         "tagged",
     )
+    o_rings = o_all.select("osm_id", F.col("ring").alias("o_ring"))
 
     # candidate superset: 3×3 cell block around the OSM centre × import cell
     cand = (
@@ -143,10 +150,14 @@ def conflate(
         & (i_minlat < F.col("o_lat")) & (F.col("o_lat") < i_maxlat),
     ).filter(F.col("fwd") | F.col("rev"))
 
-    # symmetric Hausdorff once per surviving pair (F9)
-    scored = cand.withColumn(
-        "hausdorff_m", hausdorff_udf(F.col("o_ring"), F.col("i_ring"))
-    ).drop("o_ring", "i_ring")
+    # symmetric Hausdorff once per surviving pair (F9): rings join in only
+    # here, after the bbox filter has cut candidates to ≈1 per building
+    scored = (
+        cand.join(o_rings, "osm_id")
+        .join(i_rings, "i_ref")
+        .withColumn("hausdorff_m", hausdorff_udf(F.col("o_ring"), F.col("i_ring")))
+        .drop("o_ring", "i_ring")
+    )
 
     # W1/W2 in ONE pass over a single lineage: rank the forward pairs per
     # OSM building and the reverse pairs per import building with two

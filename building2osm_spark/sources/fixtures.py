@@ -482,6 +482,105 @@ def conflation_pdfs(n: int = 64, seed: int = 42):
     return pd.DataFrame(osm_rows), pd.DataFrame(import_rows)
 
 
+def city_conflation_pdfs(n: int, urban_frac: float = 0.2, seed: int = 42):
+    """(osm_pdf, import_pdf) at CITY scale with the central-Oslo skew
+    shape: urban_frac of the buildings pack a dense core at ~25 m pitch
+    (hundreds per conflation cell), the rest spread rurally at ~250 m
+    pitch (~1 per cell) — a ~100× per-cell density contrast, which is what
+    actually stresses the 3×3 cell-block candidate join. Vectorized numpy
+    generation (rings built in one rotation-matrix batch), so n=10^6 is
+    generated in seconds. Imports: 70%% offset copies (0-8 m, matchable),
+    15%% absent (unmatched OSM), 15%% import-only (unmatched imports at
+    fresh locations). No tagged buildings, no ref anti-join rows — the
+    bench isolates the candidate-join + Hausdorff + mutual-best path.
+    """
+    rng = np.random.default_rng(seed)
+    minlon, minlat, maxlon, maxlat = BBOX
+    n_urban = int(n * urban_frac)
+    n_rural = n - n_urban
+
+    def grid(count, pitch_m, lon0, lat0):
+        cols = max(int(np.ceil(np.sqrt(count))), 1)
+        i = np.arange(count)
+        lat = lat0 + (i // cols) * (pitch_m / 111320.0)
+        lon = lon0 + (i % cols) * (pitch_m / (111320.0 * np.cos(np.radians(lat0))))
+        return lon, lat
+
+    u_lon, u_lat = grid(n_urban, 25.0, minlon + 0.02, minlat + 0.02)
+    r_lon, r_lat = grid(n_rural, 250.0, minlon + 0.02, minlat + 0.09)
+    cx = np.concatenate([u_lon, r_lon])
+    cy = np.concatenate([u_lat, r_lat])
+
+    w = rng.uniform(8, 20, n)
+    h = rng.uniform(8, 20, n)
+    ang = np.radians(rng.uniform(0, 180, n))
+    # rectangle corners in metres, rotated, vectorized: (n, 5, 2)
+    corners = np.stack(
+        [
+            np.stack([-w / 2, -h / 2], axis=1),
+            np.stack([w / 2, -h / 2], axis=1),
+            np.stack([w / 2, h / 2], axis=1),
+            np.stack([-w / 2, h / 2], axis=1),
+            np.stack([-w / 2, -h / 2], axis=1),
+        ],
+        axis=1,
+    )
+    rot = np.stack(
+        [
+            np.stack([np.cos(ang), -np.sin(ang)], axis=1),
+            np.stack([np.sin(ang), np.cos(ang)], axis=1),
+        ],
+        axis=1,
+    )  # (n, 2, 2)
+    m_xy = np.einsum("npk,nkj->npj", corners, rot)
+    dlat = m_xy[:, :, 1] / 111320.0
+    dlon = m_xy[:, :, 0] / (111320.0 * np.cos(np.radians(cy))[:, None])
+    rings = np.round(
+        np.stack([cx[:, None] + dlon, cy[:, None] + dlat], axis=2), 7
+    )  # (n, 5, 2)
+    area = np.rint(w * h).astype(np.int64)
+
+    kind = rng.uniform(size=n)
+    has_import = kind < 0.85
+    has_osm = (kind < 0.70) | (kind >= 0.85)
+    off_e = rng.uniform(0, 6, n)
+    off_n = rng.uniform(0, 5, n)
+    imp_rings = np.round(
+        rings
+        + np.stack(
+            [off_e / (111320.0 * np.cos(np.radians(cy))), off_n / 111320.0], axis=1
+        )[:, None, :],
+        7,
+    )
+
+    ids = np.arange(n)
+    osm_pdf = pd.DataFrame(
+        {
+            "osm_id": -(1000 + ids[has_osm]),
+            "ring": [r.tolist() for r in rings[has_osm]],
+            "c_lon": cx[has_osm],
+            "c_lat": cy[has_osm],
+            "area": area[has_osm],
+            "tagged": False,
+            "ref_tag": None,
+            "tags": [{"building": "yes"}] * int(has_osm.sum()),
+        }
+    )
+    icx = imp_rings[:, :-1, 0].mean(axis=1)
+    icy = imp_rings[:, :-1, 1].mean(axis=1)
+    import_pdf = pd.DataFrame(
+        {
+            "ref": (20000000 + ids[has_import]).astype(str),
+            "ring": [r.tolist() for r in imp_rings[has_import]],
+            "c_lon": icx[has_import],
+            "c_lat": icy[has_import],
+            "area": area[has_import],
+            "building": "house",
+        }
+    )
+    return osm_pdf, import_pdf
+
+
 OSM_CONFLATE_SCHEMA = (
     "osm_id long, ring array<array<double>>, c_lon double, c_lat double, "
     "area long, tagged boolean, ref_tag string, tags map<string,string>"
