@@ -38,12 +38,14 @@ def cmd_process(args) -> int:
 
     spark = _spark(args)
     buildings = spark.read.parquet(args.buildings)
-    out = municipality_pipeline(spark, buildings)
+    out = municipality_pipeline(spark, buildings, debug=args.debug, verify=args.verify)
     os.makedirs(args.out, exist_ok=True)
     out.write.mode("overwrite").parquet(os.path.join(args.out, "buildings.parquet"))
     n = write_geojson(
         out.select("ref", "geometry", "tags"),
         os.path.join(args.out, "buildings.geojson"),
+        keep_uppercase=args.debug,
+        keep_verify=args.verify,
     )
     print(f"processed {n} buildings -> {args.out}")
     return 0
@@ -77,6 +79,7 @@ def cmd_merge(args) -> int:
         osm, imports,
         margin_hausdorff=args.maxdist,
         margin_tagged=args.maxdist / 2.0,
+        with_area_rejects=args.debug,  # -debug keeps SIZE-rejected pairs
     )
     os.makedirs(args.out, exist_ok=True)
     matches.write.mode("overwrite").parquet(os.path.join(args.out, "matches.parquet"))
@@ -128,6 +131,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("process", help="extract + rectify + simplify (building2osm.py)")
     p.add_argument("--buildings", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--debug", action="store_true",
+                   help="emit DEBUG_* diagnostic tags (reference -debug)")
+    p.add_argument("--verify", action="store_true",
+                   help="emit VERIFY_RECTIFY tags (reference -verify)")
     p.set_defaults(fn=cmd_process)
 
     m = sub.add_parser("merge", help="conflate with OSM (building_merge.py)")
@@ -135,6 +142,8 @@ def main(argv=None) -> int:
     m.add_argument("--imports", required=True)
     m.add_argument("--out", required=True)
     m.add_argument("--maxdist", type=float, default=10.0)
+    m.add_argument("--debug", action="store_true",
+                   help="emit HAUSDORFF/IDENTICAL/SIZE/AREA tags (reference -debug)")
     m.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("split", help="PIP split into districts (municipality_split.py)")

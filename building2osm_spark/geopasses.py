@@ -157,6 +157,11 @@ class RectifyResult:
     buildings: list[list[Ring]]       # new rings when 'done', originals when 'no'
     removed_nodes: set[Node]          # straight-line nodes dropped (even on abort)
     relocated: float = 0.0            # max node move in metres (when 'done')
+    # abort reason in the reference's DEBUG_NORECTIFY wording
+    # (building2osm.py:1007,1052,1072,1087,1264); '' when 'done'. The
+    # reference tags the individual failing building — here the reason is
+    # group-level (every member reports the group's last failing check).
+    reason: str = ""
 
 
 def _group_use_census(buildings: list[list[Ring]]) -> dict[Node, int]:
@@ -215,6 +220,7 @@ def rectify_group(buildings_in: list[list[Ring]]) -> RectifyResult:
     corners: dict[Node, _Corner] = {}
     walls_by_patch: list[list[_Wall]] = []
     conform = True
+    reason = ""
     removed: set[Node] = set()
 
     def touch_corner(wall: _Wall | None, node: Node, used: int) -> None:
@@ -228,6 +234,7 @@ def rectify_group(buildings_in: list[list[Ring]]) -> RectifyResult:
         for ring in rings:
             if len(ring) < 5 or ring[0] != ring[-1]:
                 conform = False
+                reason = "No, only %i walls" % len(ring)  # building2osm.py:1007
                 break
 
             patch_walls: list[_Wall] = []
@@ -260,6 +267,7 @@ def rectify_group(buildings_in: list[list[Ring]]) -> RectifyResult:
                     count_corners += 1
                 elif abs(tc) > ANGLE_MARGIN:
                     conform = False  # non-straight, non-square: give up (loop on)
+                    reason = "No, %i degree angle" % tc  # building2osm.py:1052
                     last_corner = ring[i]
                 elif use[ring[i]] > 1:
                     touch_corner(wall, ring[i], 0)  # shared node: keep, mid-wall
@@ -269,6 +277,7 @@ def rectify_group(buildings_in: list[list[Ring]]) -> RectifyResult:
 
             if count_corners % 2 == 1:
                 conform = False
+                reason = "No, odd number %i" % count_corners  # building2osm.py:1072
             elif conform:
                 # wrap the trailing open wall onto the patch's first wall
                 patch_walls[0].nodes = wall.nodes + patch_walls[0].nodes
@@ -283,7 +292,8 @@ def rectify_group(buildings_in: list[list[Ring]]) -> RectifyResult:
                 walls_by_patch.append(patch_walls)
 
     if not conform:
-        return RectifyResult("no", buildings_in, removed)
+        # building2osm.py:1086-1087 — plain 'No' when no specific reason set
+        return RectifyResult("no", buildings_in, removed, reason=reason or "No")
 
     # remove unused nodes (this happens BEFORE the relocation abort check)
     for node in list(corners.keys()):
@@ -382,7 +392,10 @@ def rectify_group(buildings_in: list[list[Ring]]) -> RectifyResult:
                 if node in new_node:
                     relocated = max(relocated, _distance(node, new_node[node]))
     if relocated >= RECTIFY_MARGIN:
-        return RectifyResult("no", buildings_in, removed)
+        return RectifyResult(
+            "no", buildings_in, removed,
+            reason="Node relocated %.1f m" % relocated,  # building2osm.py:1264
+        )
 
     out: list[list[Ring]] = []
     for rings in buildings_in:  # emit in input order, not BFS order

@@ -75,6 +75,7 @@ def conflate(
     margin_hausdorff: float = MARGIN_HAUSDORFF,
     margin_tagged: float = MARGIN_TAGGED,
     margin_area: float = MARGIN_AREA,
+    with_area_rejects: bool = False,
 ) -> DataFrame:
     """Match OSM buildings to import buildings, mutual-best under thresholds.
 
@@ -176,7 +177,7 @@ def conflate(
     ranked = scored.withColumn("rn_fwd", F.row_number().over(w_fwd)).withColumn(
         "rn_rev", F.row_number().over(w_rev)
     )
-    matches = (
+    mutual = (
         ranked.filter(
             F.col("fwd") & (F.col("rn_fwd") == 1)
             & F.col("rev") & (F.col("rn_rev") == 1)
@@ -188,25 +189,36 @@ def conflate(
         )
         # reverse-direction margin (building_merge.py:633-640)
         .filter(F.col("hausdorff_m") < margin_hausdorff)
+        .withColumn("area_ratio", F.col("o_area") / F.col("i_area"))
         # area-ratio gate (building_merge.py:725-728)
-        .filter(
-            (F.lit(margin_area) < F.col("o_area") / F.col("i_area"))
-            & (F.col("o_area") / F.col("i_area") < F.lit(1.0 / margin_area))
+        .withColumn(
+            "accepted",
+            (F.lit(margin_area) < F.col("area_ratio"))
+            & (F.col("area_ratio") < F.lit(1.0 / margin_area)),
         )
         .select(
             "osm_id",
             F.col("i_ref").alias("ref"),
             "hausdorff_m",
             (F.col("hausdorff_m") < IDENTICAL_MARGIN).alias("identical"),
+            "area_ratio",
+            "accepted",
         )
     )
-    return matches
+    if with_area_rejects:
+        # every mutual-best pair within thresholds, area gate as a column —
+        # the -debug SIZE surface (building_merge.py:733-734)
+        return mutual
+    return mutual.filter("accepted").drop("area_ratio", "accepted")
 
 
 def conflate_with_tags(
     osm: DataFrame,
     imports: DataFrame,
     import_props: DataFrame,
+    *,
+    remove_addr: bool = False,
+    debug: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Full G3 output: matches get merged tag maps (add_building semantics,
@@ -216,10 +228,30 @@ def conflate_with_tags(
     import_props: (ref, props map<string,string>) — the import features'
     OSM tag payload (must include 'building'; 'ref:bygningsnr' customary).
     Returns (ref, osm_id nullable, action, tags).
+
+    remove_addr: drop addr:* from the kept OSM tags on merge — the
+    INTENT of building_merge.py:576 (the reference's own line never
+    executes the addr branch due to an `or` precedence quirk; default
+    False mirrors the reference as-run).
+    debug: the reference's -debug tag surface (building_merge.py:708,716,
+    733,450): HAUSDORFF ' %.2f' and IDENTICAL ' %.2f' (h < 1 m) on merged
+    rows, SIZE '%.1f' rows for mutual-best pairs rejected only by the
+    area gate (action='size_reject'), AREA on new rows.
     """
     from .tags import merged_tags
 
-    matches = conflate(osm, imports, **kwargs)
+    all_pairs = conflate(osm, imports, with_area_rejects=True, **kwargs)
+    matches = all_pairs.filter("accepted")
+    base_tags = merged_tags(F.col("__osm_tags"), F.col("props"), remove_addr=remove_addr)
+    if debug:
+        dbg = F.create_map(
+            F.lit("HAUSDORFF"), F.format_string(" %.2f", F.col("hausdorff_m")),
+            F.lit("IDENTICAL"),
+            F.when(F.col("identical"), F.format_string(" %.2f", F.col("hausdorff_m"))),
+        )
+        base_tags = F.map_concat(
+            base_tags, F.map_filter(dbg, lambda _, v: v.isNotNull())
+        )
     modified = (
         matches.join(osm.select("osm_id", F.col("tags").alias("__osm_tags")), "osm_id")
         .join(import_props, "ref")
@@ -227,11 +259,19 @@ def conflate_with_tags(
             "ref",
             "osm_id",
             F.lit("modify").alias("action"),
-            merged_tags(F.col("__osm_tags"), F.col("props")).alias("tags"),
+            base_tags.alias("tags"),
         )
     )
+    new_tags = (
+        F.map_concat(
+            F.col("props"),
+            F.create_map(F.lit("AREA"), F.col("area").cast("string")),
+        )
+        if debug
+        else F.col("props")
+    )
     new_rows = (
-        imports.select("ref")
+        imports.select("ref", "area")
         .join(matches.select("ref"), "ref", "left_anti")
         .join(import_props, "ref")
         .filter(F.map_contains_key("props", "building"))
@@ -239,10 +279,21 @@ def conflate_with_tags(
             "ref",
             F.lit(None).cast("long").alias("osm_id"),
             F.lit("new").alias("action"),
-            F.col("props").alias("tags"),
+            new_tags.alias("tags"),
         )
     )
-    return modified.unionByName(new_rows)
+    out = modified.unionByName(new_rows)
+    if debug:
+        size_rejects = all_pairs.filter(~F.col("accepted")).select(
+            "ref",
+            "osm_id",
+            F.lit("size_reject").alias("action"),
+            F.create_map(
+                F.lit("SIZE"), F.format_string("%.1f", F.col("area_ratio"))
+            ).alias("tags"),
+        )
+        out = out.unionByName(size_rejects)
+    return out
 
 
 def identical_pair_count(osm: DataFrame, imports: DataFrame) -> int:

@@ -97,6 +97,8 @@ _RECTIFY_SCHEMA = T.StructType(
         T.StructField("geometry", GEOM_T),
         T.StructField("rectified", T.StringType()),
         T.StructField("removed", GEOM_T),  # [ [ [lon,lat], ...] ] one pseudo-ring
+        T.StructField("relocated", T.DoubleType()),  # max node move, m
+        T.StructField("reason", T.StringType()),     # DEBUG_NORECTIFY wording
     ]
 )
 
@@ -113,13 +115,16 @@ def _rectify_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ],
         "rectified": [res.status] * len(buildings),
         "removed": [removed] + [[[]]] * (len(buildings) - 1),
+        "relocated": [res.relocated] * len(buildings),
+        "reason": [res.reason] * len(buildings),
     }
     return pd.DataFrame(rows)
 
 
 def _rectify_singles_kernel(batches):
     for pdf in batches:
-        out = {"ref": [], "geometry": [], "rectified": [], "removed": []}
+        out = {"ref": [], "geometry": [], "rectified": [], "removed": [],
+               "relocated": [], "reason": []}
         for ref, g in zip(pdf["ref"], pdf["geometry"]):
             res = GP.rectify_group([_to_rings(g)])
             out["ref"].append(ref)
@@ -128,6 +133,8 @@ def _rectify_singles_kernel(batches):
             )
             out["rectified"].append(res.status)
             out["removed"].append([[list(n) for n in sorted(res.removed_nodes)]])
+            out["relocated"].append(res.relocated)
+            out["reason"].append(res.reason)
         yield pd.DataFrame(out)
 
 
@@ -195,6 +202,8 @@ _REMOVE_SCHEMA = T.StructType(
         T.StructField("geometry", GEOM_T),
         T.StructField("rectified", T.StringType()),
         T.StructField("n_removed", T.LongType()),
+        T.StructField("relocated", T.DoubleType()),
+        T.StructField("reason", T.StringType()),
     ]
 )
 
@@ -257,12 +266,14 @@ def simplify(rectified_df: DataFrame) -> DataFrame:
                     "geometry": geoms,
                     "rectified": pdf["rectified"],
                     "n_removed": counts,
+                    "relocated": pdf["relocated"],
+                    "reason": pdf["reason"],
                 }
             )
 
-    out = with_removals.select("ref", "geometry", "rectified", "to_remove").mapInPandas(
-        remove_kernel, schema=_REMOVE_SCHEMA
-    )
+    out = with_removals.select(
+        "ref", "geometry", "rectified", "to_remove", "relocated", "reason"
+    ).mapInPandas(remove_kernel, schema=_REMOVE_SCHEMA)
     # release the rectify cache deterministically: materialize the final
     # (slim, one-row-per-building) output into ContextCleaner-managed
     # blocks, then drop the CacheManager entry — long-lived sessions

@@ -20,15 +20,26 @@ from pyspark.sql import functions as F
 from ..constants import SIMILAR_BUILDINGS
 
 _DROPPED_KEYS = ("building:type", "source", "source:date")  # building_merge.py:575
+# building_merge.py:576 INTENDS to also drop these under remove_addr, but a
+# precedence quirk (`LIST or remove_addr and ...` — the truthy list wins)
+# means the reference never actually iterates them. Default behavior here
+# mirrors the reference as-run (addr kept); remove_addr=True implements the
+# documented intent.
+_ADDR_KEYS = (
+    "addr:street", "addr:housenumber", "addr:city", "addr:country", "addr:place",
+)
 
 
 def _in_category(value: Column, category: list[str]) -> Column:
     return value.isin(*category)
 
 
-def merged_tags(osm_tags: Column, import_props: Column) -> Column:
+def merged_tags(
+    osm_tags: Column, import_props: Column, remove_addr: bool = False
+) -> Column:
     """New tag map for a matched building (add_building semantics)."""
-    kept = F.map_filter(osm_tags, lambda k, _: ~k.isin(*_DROPPED_KEYS))
+    dropped = _DROPPED_KEYS + (_ADDR_KEYS if remove_addr else ())
+    kept = F.map_filter(osm_tags, lambda k, _: ~k.isin(*dropped))
 
     osm_b = osm_tags["building"]
     imp_b = import_props["building"]
@@ -61,12 +72,16 @@ def tagged_flag(tags: Column) -> Column:
 _UPPERCASE_KEEP = ("TYPE", "STATUS", "DATE")  # building2osm.py:1309
 
 
-def drop_debug_tags(tags: Column, keep_uppercase: bool = False) -> Column:
+def drop_debug_tags(
+    tags: Column, keep_uppercase: bool = False, keep_verify: bool = False
+) -> Column:
     """P3 — strip UPPERCASE debug/verify keys unless flagged, but keep the
     deliberate output properties TYPE/STATUS/DATE (building2osm.py:1306-1311;
-    they are set at :638-653 and feed building_merge's TYPE retag rules)."""
+    they are set at :638-653 and feed building_merge's TYPE retag rules).
+    keep_verify keeps VERIFY_* keys (the -verify flag, building2osm.py:1309)."""
     if keep_uppercase:
         return tags
-    return F.map_filter(
-        tags, lambda k, _: (k != F.upper(k)) | k.isin(*_UPPERCASE_KEEP)
-    )
+    keep = lambda k, _: (k != F.upper(k)) | k.isin(*_UPPERCASE_KEEP)  # noqa: E731
+    if keep_verify:
+        return F.map_filter(tags, lambda k, v: keep(k, v) | k.contains("VERIFY"))
+    return F.map_filter(tags, keep)

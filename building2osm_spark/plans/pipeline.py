@@ -107,9 +107,23 @@ def assignment_pipeline(
     return {"assigned": inside, "fallback": fallback, "metrics": metrics}
 
 
-def municipality_pipeline(spark: SparkSession, buildings: DataFrame) -> DataFrame:
+def municipality_pipeline(
+    spark: SparkSession,
+    buildings: DataFrame,
+    *,
+    debug: bool = False,
+    verify: bool = False,
+) -> DataFrame:
     """buildings(ref, geometry, building_type, …) → enriched + rectified +
-    simplified + WKB output rows (the building2osm.py:1338-1363 flow)."""
+    simplified + WKB output rows (the building2osm.py:1338-1363 flow).
+
+    debug/verify reproduce the reference's diagnostic tag surface
+    (building2osm.py:1255-1264): DEBUG_RECTIFY '%.2f' m on rectified
+    buildings and DEBUG_NORECTIFY reason text on aborts (debug);
+    VERIFY_RECTIFY '%.1f' when the max node move exceeds half the rectify
+    margin (verify). The sink keeps VERIFY_* under the verify flag
+    (building2osm.py:1309)."""
+    from ..constants import RECTIFY_MARGIN
     from ..functions.udfs import round7_geometry_udf, wkb_udf
 
     types = building_types(spark)
@@ -121,4 +135,41 @@ def municipality_pipeline(spark: SparkSession, buildings: DataFrame) -> DataFram
         .withColumn("geometry", round7_geometry_udf(F.col("geometry")))
         .withColumn("wkb", wkb_udf(F.col("geometry")))
     )
+    diag = F.create_map().cast("map<string,string>")
+    if debug:
+        diag = F.map_concat(
+            diag,
+            F.map_filter(
+                F.create_map(
+                    F.lit("DEBUG_RECTIFY"),
+                    F.when(
+                        F.col("rectified") == "done",
+                        F.format_string("%.2f", F.col("relocated")),
+                    ),
+                    F.lit("DEBUG_NORECTIFY"),
+                    F.when(
+                        (F.col("rectified") != "done") & (F.col("reason") != ""),
+                        F.col("reason"),
+                    ),
+                ),
+                lambda _, v: v.isNotNull(),
+            ),
+        )
+    if verify:
+        diag = F.map_concat(
+            diag,
+            F.map_filter(
+                F.create_map(
+                    F.lit("VERIFY_RECTIFY"),
+                    F.when(
+                        (F.col("rectified") == "done")
+                        & (F.col("relocated") > 0.5 * RECTIFY_MARGIN),
+                        F.format_string("%.1f", F.col("relocated")),
+                    ),
+                ),
+                lambda _, v: v.isNotNull(),
+            ),
+        )
+    if debug or verify:
+        out = out.withColumn("tags", F.map_concat(F.col("tags"), diag))
     return out.orderBy("ref")

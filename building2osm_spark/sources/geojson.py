@@ -25,6 +25,7 @@ def write_geojson(
     tags_col: str | None = "tags",
     geom_type: str = "Polygon",
     keep_uppercase: bool = False,
+    keep_verify: bool = False,
 ) -> int:
     """Write a canonical FeatureCollection; returns the feature count.
 
@@ -42,11 +43,13 @@ def write_geojson(
             for k, v in (r[tags_col] or {}).items():
                 # k == k.upper() (not isupper(): letterless keys count as
                 # uppercase in the reference) with the TYPE/STATUS/DATE
-                # exemption of building2osm.py:1309.
+                # exemption and the verify-flag VERIFY_* exemption of
+                # building2osm.py:1309.
                 if (
                     keep_uppercase
                     or k != k.upper()
                     or k in ("TYPE", "STATUS", "DATE")
+                    or (keep_verify and "VERIFY" in k)
                 ):
                     props[k] = v
         props.setdefault("ref:bygningsnr", r[ref_col])

@@ -4,6 +4,7 @@ merge_buildings() run on identical in-memory input."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from building2osm_spark.operators.conflate import conflate, identical_pair_count
 from building2osm_spark.sources import fixtures as FX
@@ -113,3 +114,52 @@ def test_city_scale_conflation_matches_planted_fraction(spark):
         import_pdf["ref"].astype(int) - 20000000)).sum())
     assert n == planted
     assert matches.select("osm_id").distinct().count() == n  # one match per building
+
+
+def test_conflate_with_tags_debug_and_remove_addr(spark):
+    """-debug tag surface (HAUSDORFF/IDENTICAL/SIZE/AREA,
+    building_merge.py:450,708,716,733) + the remove_addr intent flag."""
+    from building2osm_spark.operators.conflate import conflate_with_tags
+
+    osm_pdf, import_pdf = FX.conflation_pdfs(64)
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    imports = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA)
+    # give the OSM side addr tags to observe remove_addr
+    osm = osm.withColumn(
+        "tags",
+        F.map_concat(
+            "tags",
+            F.create_map(
+                F.lit("addr:street"), F.lit("Gata"), F.lit("name"), F.lit("N")
+            ),
+        ),
+    )
+    props = imports.select(
+        "ref",
+        F.create_map(
+            F.lit("building"), F.lit("house"), F.lit("ref:bygningsnr"), F.col("ref")
+        ).alias("props"),
+    )
+    out = conflate_with_tags(osm, imports, props, debug=True, remove_addr=True)
+    rows = out.collect()
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r["action"], []).append(r)
+    mod = by_action["modify"]
+    assert all("HAUSDORFF" in r["tags"] for r in mod)
+    # reference's leading-space format ' %.2f' (building_merge.py:716)
+    assert all(r["tags"]["HAUSDORFF"].startswith(" ") for r in mod)
+    identical = [r for r in mod if "IDENTICAL" in r["tags"]]
+    assert len(identical) == 8  # the kind-0 planted identical pairs
+    assert all("addr:street" not in r["tags"] for r in mod)  # remove_addr
+    assert all("name" in r["tags"] for r in mod)  # other osm tags kept
+    # kind-5 area-ratio violations surface as SIZE rows under -debug
+    assert "size_reject" in by_action
+    assert all("SIZE" in r["tags"] for r in by_action["size_reject"])
+    assert all("AREA" in r["tags"] for r in by_action["new"])
+
+    # without remove_addr (reference as-run), addr tags survive the merge
+    out2 = conflate_with_tags(osm, imports, props)
+    mod2 = [r for r in out2.collect() if r["action"] == "modify"]
+    assert all(r["tags"].get("addr:street") == "Gata" for r in mod2)
+    assert all("HAUSDORFF" not in r["tags"] for r in mod2)

@@ -49,3 +49,32 @@ def test_connected_components_labels(spark):
     # component id is the min member ref
     bad = comp.filter(F.col("component") > F.col("ref")).count()
     assert bad == 0
+
+
+def test_rectify_relocated_and_reason_surface(spark):
+    """relocated/reason thread through rectify+simplify; municipality
+    pipeline emits DEBUG_RECTIFY / VERIFY_RECTIFY / DEBUG_NORECTIFY
+    (building2osm.py:1255-1264)."""
+    from building2osm_spark.plans.pipeline import municipality_pipeline
+    from building2osm_spark.sources.fixtures import (
+        GEOMETRY_POLYGON_T,
+        building_geometries,
+    )
+
+    df = spark.createDataFrame(
+        [(ref, rings, "111", "FA") for ref, rings in building_geometries(40)],
+        schema=f"ref string, geometry {GEOMETRY_POLYGON_T}, "
+               "building_type string, status string",
+    )
+    out = municipality_pipeline(spark, df, debug=True, verify=True)
+    rows = out.collect()
+    assert {"relocated", "reason"} <= set(out.columns)
+    done = [r for r in rows if r["rectified"] == "done"]
+    aborted = [r for r in rows if r["rectified"] != "done" and r["reason"]]
+    assert done, "fixture should rectify some buildings"
+    for r in done:
+        assert r["tags"]["DEBUG_RECTIFY"] == "%.2f" % r["relocated"]
+        if r["relocated"] > 0.1:  # 0.5 * RECTIFY_MARGIN
+            assert r["tags"]["VERIFY_RECTIFY"] == "%.1f" % r["relocated"]
+    for r in aborted:
+        assert r["tags"]["DEBUG_NORECTIFY"] == r["reason"]
