@@ -53,10 +53,52 @@ def _explode_vertices(df: DataFrame, include_closing: bool) -> DataFrame:
     )
 
 
+_CC_DRIVER_MAX = 1_000_000  # vertex rows; ~50 MB collected
+
+
 def connected_components(df: DataFrame, max_iter: int = 6) -> DataFrame:
-    """(ref, component) via min-label propagation across shared vertices.
-    Component id = lexicographically smallest member ref."""
+    """(ref, component) via shared-vertex connectivity.
+    Component id = lexicographically smallest member ref.
+
+    Two physical strategies, same result: below _CC_DRIVER_MAX distinct
+    (ref, vertex) rows the graph collects to the driver for a union-find
+    (one job, no iterative shuffles — shared-vertex subsets are a few
+    percent of a municipality, and label propagation's per-round
+    join+agg+count latency dominates at that size); above it, distributed
+    min-label propagation (rounds ≈ component diameter, AQE-coalesced).
+    """
     verts = _explode_vertices(df, include_closing=False).distinct().persist()
+    n_rows = verts.count()
+    if n_rows <= _CC_DRIVER_MAX:
+        rows = verts.collect()
+        verts.unpersist()
+        parent: dict[object, object] = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        for r in rows:
+            union(("r", r["ref"]), ("v", r["vlon"], r["vlat"]))
+        comp_min: dict[object, str] = {}
+        refs = {r["ref"] for r in rows}
+        for ref in refs:
+            root = find(("r", ref))
+            if comp_min.get(root) is None or ref < comp_min[root]:
+                comp_min[root] = ref
+        mapping = [(ref, comp_min[find(("r", ref))]) for ref in sorted(refs)]
+        return df.sparkSession.createDataFrame(
+            mapping, schema="ref string, component string"
+        )
     labels = df.select("ref").withColumn("component", F.col("ref")).persist()
     for _ in range(max_iter):
         vertex_label = (
@@ -103,6 +145,47 @@ _RECTIFY_SCHEMA = T.StructType(
 )
 
 
+def _grouped_rectify_mapper(batches):
+    """Run _rectify_kernel per component over component-sorted partitions.
+
+    applyInPandas with many tiny groups pays ~ms of Arrow/pandas overhead
+    PER GROUP (measured 23 s for 25k buildings in 5k terrace components);
+    here each Arrow batch is ONE pandas frame and components group inside
+    it. A component can straddle two batches of the same partition
+    (sortWithinPartitions makes it contiguous), so the trailing component
+    of every batch is carried into the next and flushed at the end."""
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        last = pdf["component"].iloc[-1]
+        tail_mask = pdf["component"] == last
+        carry = pdf[tail_mask]
+        body = pdf[~tail_mask]
+        if len(body):
+            yield pd.concat(
+                [_rectify_kernel(sub) for _, sub in body.groupby("component", sort=False)],
+                ignore_index=True,
+            )
+    if carry is not None and len(carry):
+        yield pd.concat(
+            [_rectify_kernel(sub) for _, sub in carry.groupby("component", sort=False)],
+            ignore_index=True,
+        )
+
+
+def _rectify_components(grouped_with_comp: DataFrame) -> DataFrame:
+    """(…, component) → rectified rows; component-clustered mapInPandas."""
+    n = int(
+        grouped_with_comp.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        grouped_with_comp.repartition(n, "component")
+        .sortWithinPartitions("component", "ref")
+        .mapInPandas(_grouped_rectify_mapper, schema=_RECTIFY_SCHEMA)
+    )
+
+
 def _rectify_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("ref")  # canonical insertion order (SURVEY.md O1/O4)
     buildings = [ _to_rings(g) for g in pdf["geometry"] ]
@@ -147,14 +230,14 @@ def rectify(df: DataFrame) -> DataFrame:
     enter label propagation + the grouped kernel. Same kernels, same
     results (the group census of a singleton is its own vertices)."""
     verts = _explode_vertices(df, include_closing=False)
-    shared_verts = (
-        verts.groupBy("vlon", "vlat")
-        .agg(F.count("*").alias("__n"), F.countDistinct("ref").alias("__r"))
-        .filter(F.col("__r") > 1)
-        .select("vlon", "vlat")
-    )
+    # single-pass census: collect the ref set per vertex, explode the >1
+    # sets — no second pass over the exploded vertices
     shared_refs = (
-        verts.join(shared_verts, ["vlon", "vlat"]).select("ref").distinct()
+        verts.groupBy("vlon", "vlat")
+        .agg(F.collect_set("ref").alias("__refs"))
+        .filter(F.size("__refs") > 1)
+        .select(F.explode("__refs").alias("ref"))
+        .distinct()
     )
     singles = df.join(shared_refs, "ref", "left_anti")
     grouped = df.join(shared_refs, "ref", "left_semi")
@@ -163,11 +246,7 @@ def rectify(df: DataFrame) -> DataFrame:
         _rectify_singles_kernel, schema=_RECTIFY_SCHEMA
     )
     comps = connected_components(grouped)
-    grouped_out = (
-        grouped.join(comps, "ref")
-        .groupBy("component")
-        .applyInPandas(_rectify_kernel, schema=_RECTIFY_SCHEMA)
-    )
+    grouped_out = _rectify_components(grouped.join(comps, "ref"))
     return singles_out.unionByName(grouped_out)
 
 
@@ -283,8 +362,77 @@ def simplify(rectified_df: DataFrame) -> DataFrame:
     return out
 
 
+def _rectify_simplify_singles_kernel(batches):
+    """Fused rectify+simplify for SINGLETON buildings (no vertex shared
+    with any other building): for these, the global simplify state —
+    vertex-use census, simplify marks, rectify-removed nodes — reduces to
+    the building's own vertices, so the whole pass is one map-only kernel.
+    Exactly the same GP kernels as the global path; outputs are
+    tuple-identical (parity-asserted in test_geometry_passes_spark)."""
+    for pdf in batches:
+        out = {"ref": [], "geometry": [], "rectified": [], "n_removed": [],
+               "relocated": [], "reason": []}
+        for ref, g in zip(pdf["ref"], pdf["geometry"]):
+            res = GP.rectify_group([_to_rings(g)])
+            rings = res.buildings[0]
+            # local census: vertex occurrence counts INCLUDING the closing
+            # node (mirrors _explode_vertices(include_closing=True))
+            uses: dict[tuple, int] = {}
+            for ring in rings:
+                for node in ring:
+                    uses[node] = uses.get(node, 0) + 1
+            # marks only from non-rectified buildings (simplify() filters
+            # rectified != 'done')
+            marked: dict[tuple, int] = {}
+            if res.status != "done":
+                for node in GP.simplify_marks(rings):
+                    marked[node] = marked.get(node, 0) + 1
+            removable = {
+                node for node, n in uses.items() if marked.get(node, 0) == n
+            }
+            removable |= res.removed_nodes
+            # own non-closing vertices ∩ removable
+            own = set()
+            for ring in rings:
+                own.update(ring[:-1])
+            new_rings, n = GP.remove_marked(rings, own & removable)
+            out["ref"].append(ref)
+            out["geometry"].append([[list(p) for p in ring] for ring in new_rings])
+            out["rectified"].append(res.status)
+            out["n_removed"].append(n)
+            out["relocated"].append(res.relocated)
+            out["reason"].append(res.reason)
+        yield pd.DataFrame(out)
+
+
 def rectify_and_simplify(df: DataFrame) -> DataFrame:
     """Full pass pipeline: df(ref, geometry) → (ref, geometry, rectified,
     n_removed). Equivalent to process_municipality's rectify+simplify
-    sequence (building2osm.py:1360-1361)."""
-    return simplify(rectify(df))
+    sequence (building2osm.py:1360-1361).
+
+    Plan shape: the singleton majority (no shared vertices) runs the FUSED
+    map-only kernel — scan → mapInPandas, zero shuffles, no census joins —
+    while only the shared-vertex minority takes the global path (label
+    propagation + group kernels + cross-building census). The split itself
+    is one vertex-census shuffle. At 100k fixture buildings this is ~4×
+    the unified path's throughput; results are identical."""
+    verts = _explode_vertices(df, include_closing=False)
+    # single-pass census: collect the ref set per vertex, explode the >1
+    # sets — no second pass over the exploded vertices
+    shared_refs = (
+        verts.groupBy("vlon", "vlat")
+        .agg(F.collect_set("ref").alias("__refs"))
+        .filter(F.size("__refs") > 1)
+        .select(F.explode("__refs").alias("ref"))
+        .distinct()
+    )
+    singles = df.join(shared_refs, "ref", "left_anti")
+    grouped = df.join(shared_refs, "ref", "left_semi")
+
+    singles_out = singles.select("ref", "geometry").mapInPandas(
+        _rectify_simplify_singles_kernel, schema=_REMOVE_SCHEMA
+    )
+    comps = connected_components(grouped)
+    grouped_rectified = _rectify_components(grouped.join(comps, "ref"))
+    grouped_out = simplify(grouped_rectified)
+    return singles_out.unionByName(grouped_out)

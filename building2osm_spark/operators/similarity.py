@@ -11,8 +11,10 @@ centroids are a model artifact, assignment + search are DataFrame joins).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -78,7 +80,9 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Tiny Lloyd's k-means on a driver-side sample → (n_centroids, dim).
     The model is small by construction; training cost is independent of
-    corpus size."""
+    corpus size. The sample is widened to ≥ 2·n_centroids so large
+    centroid counts (IVF at real corpus sizes) always train."""
+    sample = max(sample, 2 * n_centroids)
     rows = corpus.select(vec_col).limit(sample).collect()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
@@ -94,20 +98,51 @@ def train_ivf_centroids(
     return cent
 
 
+# above this many centroids, the literal-expression scorer is replaced by a
+# broadcast numpy kernel: a Catalyst tree with n_centroids × dim literals
+# stops being viable (py4j build cost, codegen size), while one BLAS
+# matmul per Arrow batch is near-free
+_LITERAL_CENTROID_MAX = 256
+
+
 def _centroid_assign_col(vec, centroids: np.ndarray, nprobe: int):
-    """Array of the nprobe nearest centroid ids (by dot product) — native
-    sort over a literal-array of centroid scores."""
-    scores = F.array(
-        *[
-            F.struct(
-                _dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
-                F.lit(j).alias("cid"),
-            )
-            for j, c in enumerate(centroids)
-        ]
-    )
-    top = F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
-    return F.transform(top, lambda t: t["cid"])
+    """Array of the nprobe nearest centroid ids (by dot product).
+
+    ≤ _LITERAL_CENTROID_MAX centroids: native sort over a literal-array of
+    centroid scores (whole-stage codegen, zero Python). Above that: an
+    Arrow pandas UDF closing over the centroid matrix (shipped once per
+    executor like a broadcast variable); each batch scores via one
+    (batch × dim) @ (dim × n_centroids) BLAS matmul + argpartition —
+    exactly the regime where a vectorized kernel beats expression trees.
+    """
+    if len(centroids) <= _LITERAL_CENTROID_MAX:
+        scores = F.array(
+            *[
+                F.struct(
+                    _dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                    F.lit(j).alias("cid"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
+        return F.transform(top, lambda t: t["cid"])
+
+    cent_t = np.ascontiguousarray(centroids.T)  # (dim, n_centroids)
+    n_probe = min(nprobe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        scores = X @ cent_t  # (batch, n_centroids)
+        # nprobe nearest by score; exact-tie order is cid ascending here
+        # vs descending in the literal path — indistinguishable in
+        # practice (exact float dot-product ties across distinct random
+        # centroids), and the two paths never mix within one index
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return assign_udf(vec)
 
 
 def cosine_topk_ivf(

@@ -135,3 +135,37 @@ def test_text_functions(spark, docs):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # all native
+
+
+def test_ivf_4096_centroids_broadcast_kernel(spark):
+    """VERDICT #10: IVF beyond the literal-centroid limit — 4096 centroids
+    route through the broadcast numpy kernel; on a clustered corpus the
+    probed search keeps high recall vs brute force."""
+    rng = np.random.default_rng(11)
+    n_clusters, per, dim = 4096, 2, 32
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, per, axis=0) + 0.01 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(pts)],
+        schema="vec_id long, embedding array<double>",
+    ).cache()
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+
+    exact = S.cosine_topk_bruteforce(queries, corpus, k=2)
+    got = S.cosine_topk_ivf(
+        queries, corpus, k=2, n_centroids=4096, nprobe=16,
+        # train on the full table: 8192 rows, sample widened automatically
+        centroids=S.train_ivf_centroids(
+            emb, 4096, sample=8192, iters=3
+        ),
+    )
+    want_pairs = {(r.q_id, r.c_id) for r in exact.collect()}
+    got_pairs = {(r.q_id, r.c_id) for r in got.collect()}
+    recall = len(want_pairs & got_pairs) / len(want_pairs)
+    assert recall >= 0.9, f"recall {recall}"
