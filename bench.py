@@ -309,6 +309,27 @@ def main() -> None:
     timed("best_per_order", lambda: DQ.q_best_per_order(spark, SF_DIR).count())
     timed("lag_gap", lambda: DQ.q_lag_gap(spark, SF_DIR).count())
     timed("rectify_simplify", lambda: DQ.q_rectify_simplify(spark, SF_DIR).count())
+
+    def rectify_100k():
+        # kernel-bound geometry-pass throughput (the 210-building driver
+        # query above is overhead-dominated); fused singleton kernel +
+        # grouped path, see geometry_passes.rectify_and_simplify
+        from building2osm_spark.operators.geometry_passes import rectify_and_simplify
+        from building2osm_spark.sources.fixtures import (
+            GEOMETRY_POLYGON_T,
+            building_geometries,
+        )
+
+        path = "/tmp/bench_rect100k.parquet"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            spark.createDataFrame(
+                building_geometries(100_000),
+                schema=f"ref string, geometry {GEOMETRY_POLYGON_T}",
+            ).repartition(32).write.mode("overwrite").parquet(path)
+        return rectify_and_simplify(spark.read.parquet(path)).count()
+
+    rectify_100k()  # warm-up + fixture materialization
+    timed("rectify_100k", rectify_100k)
     timed("image_decode_5k", lambda: __import__(
         "building2osm_spark.functions.images", fromlist=["decode_features"]
     ).decode_features(

@@ -36,6 +36,9 @@ def get_spark(app: str = "building2osm_spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
+        # bucketed-table warehouse (sources/bucketed.py) — keep catalog
+        # data out of the repo/cwd; static config, so set at build time
+        .config("spark.sql.warehouse.dir", "/tmp/b2o_spark_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
