@@ -22,12 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .constants import EARTH_RADIUS
+from .constants import EARTH_RADIUS, EARTH_RADIUS_MERGE_AREA
 from .functions.columns import (
+    bearing_col,
     building_retag_cadastral_col,
+    coordinate_offset_cols,
     distance_m_col,
     fix_url_col,
     parse_ref_col,
+    polygon_area_col,
+    polygon_centre_cols,
 )
 from .functions.text import doc_fingerprint, language_id, quality_score, token_count_ws
 from .operators.cover_join import assign_points_to_polygons
@@ -848,6 +852,292 @@ ORACLE_SIMHASH = _simhash_oracle()
 
 
 # ---------------------------------------------------------------------------
+# native geometry scalars over committed input fixtures — both engines read
+# the same INPUT data and compute independently (true oracles for the
+# F1/F2/F3/F5/F10/F20, P5/P6, A2, S7/U4/J9 parity-only ids)
+# ---------------------------------------------------------------------------
+
+_GOLDEN_DIR = "/root/repo/tests/golden/driver"
+_BUILDINGS_INPUT = f"{_GOLDEN_DIR}/buildings_input.parquet"
+_OVERPASS_INPUT = f"{_GOLDEN_DIR}/overpass_input.json"
+# both engines embed the SAME Python-evaluated double literal (plan-time
+# constant on the Spark side, repr'd into the SQL)
+_LAT_DIST_CAD = repr(3.141592653589793 * EARTH_RADIUS / 180.0)
+_LAT_DIST_MERGE = repr(3.141592653589793 * EARTH_RADIUS_MERGE_AREA / 180.0)
+
+
+def q_geom_distance_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 + F5 native scalars over derived point pairs."""
+    pts = _points(spark, sf_dir)
+    lon2 = F.col("lon") + 0.003
+    lat2 = F.col("lat") - 0.002
+    return pts.select(
+        "point_id",
+        F.round(distance_m_col(F.col("lon"), F.col("lat"), lon2, lat2), 6).alias(
+            "dist_m"
+        ),
+        F.round(bearing_col(F.col("lon"), F.col("lat"), lon2, lat2), 6).alias(
+            "bearing_deg"
+        ),
+    )
+
+
+ORACLE_GEOM_DIST = f"""
+WITH p AS ({_POINTS_SQL}),
+d AS (
+  SELECT point_id, lon, lat, lon + 0.003 AS lon2, lat - 0.002 AS lat2 FROM p
+)
+SELECT point_id,
+  round(6371000.0 * sqrt(
+      pow((radians(lon2) - radians(lon)) * cos((radians(lat) + radians(lat2)) * 0.5), 2)
+    + pow(radians(lat2) - radians(lat), 2)), 6) AS dist_m,
+  round(fmod(degrees(atan2(
+      sin(radians(lon2) - radians(lon)) * cos(radians(lat2)),
+      cos(radians(lat)) * sin(radians(lat2))
+        - sin(radians(lat)) * cos(radians(lat2)) * cos(radians(lon2) - radians(lon))
+    )) + 360.0, 360.0), 6) AS bearing_deg
+FROM d
+"""
+
+
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 + F3 + F20 native polygon scalars over the committed 2k-building
+    input fixture (outer ring)."""
+    b = spark.read.parquet(_BUILDINGS_INPUT)
+    ring = F.col("geometry")[0]
+    body = F.slice(ring, 1, F.size(ring) - 1)
+    # centre is emitted as (vertex sum, body count) rather than the mean:
+    # fixture coordinates sit on the 7-decimal grid, so sums are exactly
+    # on-grid (round-safe in both engines) while means land on quarter-grid
+    # rounding ties where JVM and DuckDB round() half-steps differ; the
+    # division itself is parity-tested in tests/test_geom.py
+    return b.select(
+        "ref",
+        polygon_area_col(ring).alias("area"),
+        F.round(
+            F.aggregate(body, F.lit(0.0), lambda acc, p: acc + p[0]), 7
+        ).alias("lon_sum"),
+        F.round(
+            F.aggregate(body, F.lit(0.0), lambda acc, p: acc + p[1]), 7
+        ).alias("lat_sum"),
+        F.size(body).cast("int").alias("n_body"),
+    )
+
+
+ORACLE_POLYGON_METRICS = f"""
+WITH b AS (
+  SELECT ref, geometry[1] AS ring, len(geometry[1]) AS n
+  FROM read_parquet('{_BUILDINGS_INPUT}')
+)
+SELECT ref,
+  CASE WHEN n > 0 AND ring[1][1] = ring[-1][1] AND ring[1][2] = ring[-1][2] THEN
+    CAST(trunc(list_reduce([0.0::DOUBLE] || list_transform(range(1, n), i ->
+        (ring[i+1][1]*{_LAT_DIST_CAD}*cos(radians(ring[i+1][2]))
+         - ring[i][1]*{_LAT_DIST_CAD}*cos(radians(ring[i][2])))
+      * (ring[i+1][2]*{_LAT_DIST_CAD} + ring[i][2]*{_LAT_DIST_CAD})
+    ), (acc, x) -> acc + x) / 2.0) AS BIGINT)
+  ELSE 0 END AS area,
+  round(list_reduce([0.0::DOUBLE] || list_transform(range(1, n), i -> ring[i][1]),
+        (a, x) -> a + x), 7) AS lon_sum,
+  round(list_reduce([0.0::DOUBLE] || list_transform(range(1, n), i -> ring[i][2]),
+        (a, x) -> a + x), 7) AS lat_sum,
+  CAST(n - 1 AS INT) AS n_body
+FROM b
+"""
+
+
+def q_node_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 vertex-usage census over the committed fixture (closing node
+    excluded, building2osm.py:933-946 convention)."""
+    b = spark.read.parquet(_BUILDINGS_INPUT)
+    verts = b.select(
+        F.explode(F.slice(F.col("geometry")[0], 1, F.size(F.col("geometry")[0]) - 1)).alias("v")
+    )
+    return (
+        verts.groupBy(F.col("v")[0].alias("vlon"), F.col("v")[1].alias("vlat"))
+        .agg(F.count("*").alias("uses"))
+    )
+
+
+ORACLE_NODE_CENSUS = f"""
+WITH v AS (
+  SELECT unnest(list_slice(geometry[1], 1, len(geometry[1]) - 1)) AS v
+  FROM read_parquet('{_BUILDINGS_INPUT}')
+)
+SELECT v[1] AS vlon, v[2] AS vlat, count(*) AS uses FROM v GROUP BY 1, 2
+"""
+
+
+def q_bbox_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — the three bbox conventions (closed ≤≤, strict <<, half-open ≤<)
+    counted over the derived point cloud; boundary-safe margins are NOT
+    used here on purpose: conventions must disagree on boundary rows for
+    the query to discriminate them, so the bbox edges sit on exact
+    derived-point coordinates."""
+    pts = _points(spark, sf_dir)
+    lo_lon, hi_lon = 10.70, 10.90
+    lo_lat, hi_lat = 59.90, 60.00
+    closed = (
+        (F.col("lon") >= lo_lon) & (F.col("lon") <= hi_lon)
+        & (F.col("lat") >= lo_lat) & (F.col("lat") <= hi_lat)
+    )
+    strict = (
+        (F.col("lon") > lo_lon) & (F.col("lon") < hi_lon)
+        & (F.col("lat") > lo_lat) & (F.col("lat") < hi_lat)
+    )
+    half = (
+        (F.col("lon") >= lo_lon) & (F.col("lon") < hi_lon)
+        & (F.col("lat") >= lo_lat) & (F.col("lat") < hi_lat)
+    )
+    return pts.agg(
+        F.sum(closed.cast("long")).alias("n_closed"),
+        F.sum(strict.cast("long")).alias("n_strict"),
+        F.sum(half.cast("long")).alias("n_half_open"),
+    )
+
+
+ORACLE_BBOX_MODES = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT
+  CAST(sum(CASE WHEN lon >= 10.70 AND lon <= 10.90 AND lat >= 59.90 AND lat <= 60.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+  CAST(sum(CASE WHEN lon >  10.70 AND lon <  10.90 AND lat >  59.90 AND lat <  60.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_strict,
+  CAST(sum(CASE WHEN lon >= 10.70 AND lon <  10.90 AND lat >= 59.90 AND lat <  60.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_half_open
+FROM p
+"""
+
+
+def q_offset_round7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 coordinate_offset + F20 7-decimal output rounding."""
+    pts = _points(spark, sf_dir)
+    off_lon, off_lat = coordinate_offset_cols(F.col("lon"), F.col("lat"), 15.0)
+    return pts.select(
+        "point_id",
+        F.round(off_lon, 7).alias("off_lon"),
+        F.round(off_lat, 7).alias("off_lat"),
+    )
+
+
+_OFF_M = repr(15.0 / ((3.141592653589793 / 180.0) * 6378137.0))
+
+ORACLE_OFFSET = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id,
+  round(lon + {_OFF_M} / cos(radians(lat)), 7) AS off_lon,
+  round(lat + {_OFF_M}, 7) AS off_lat
+FROM p
+"""
+
+
+def q_osm_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/P6/U4/J9 end-to-end over the committed Overpass response: native
+    JSON scan → eligibility filter → relation-member anti-join → ring
+    resolution → native area/centre/tagged. Fully Catalyst (the numpy-UDF
+    variants stay parity-tested; this path is the SQL-verifiable twin)."""
+    from .operators.tags import tagged_flag
+    from .sources.overpass import read_overpass_json, split_elements
+
+    nodes, ways, relations = split_elements(
+        read_overpass_json(spark, _OVERPASS_INPUT)
+    )
+    eligible = ways.filter(
+        F.map_contains_key("tags", "building")
+        & ~F.map_contains_key("tags", "building:part")
+        & (F.size("nodes") > 2)
+        & (F.element_at("nodes", 1) == F.element_at("nodes", -1))
+    )
+    members = (
+        relations.select(F.explode("members").alias("m"))
+        .filter(F.col("m.type") == "way")
+        .select(F.col("m.ref").alias("id"))
+        .distinct()
+    )
+    eligible = eligible.join(members, "id", "left_anti")
+    resolved = (
+        eligible.select(
+            F.col("id").alias("osm_id"), "tags",
+            F.posexplode("nodes").alias("pos", "node_id"),
+        )
+        .join(nodes.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id")
+        .groupBy("osm_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "lon", "lat"))),
+                lambda s: F.array(s["lon"], s["lat"]),
+            ).alias("ring"),
+            F.first("tags").alias("tags"),
+        )
+    )
+    c_lon, c_lat = polygon_centre_cols(F.col("ring"))
+    return resolved.select(
+        "osm_id",
+        F.size("ring").alias("n_nodes"),
+        polygon_area_col(F.col("ring"), EARTH_RADIUS_MERGE_AREA).alias("area"),
+        F.round(c_lon, 7).alias("c_lon"),
+        F.round(c_lat, 7).alias("c_lat"),
+        tagged_flag(F.col("tags")).alias("tagged"),
+        F.col("tags")["ref:bygningsnr"].alias("ref_tag"),
+    )
+
+
+_OVERPASS_COLS = (
+    "{'version': 'DOUBLE', 'elements': 'STRUCT(type VARCHAR, id BIGINT, "
+    "lon DOUBLE, lat DOUBLE, nodes BIGINT[], members STRUCT(type VARCHAR, "
+    "ref BIGINT, role VARCHAR)[], tags MAP(VARCHAR, VARCHAR))[]'}"
+)
+
+ORACLE_OSM_ELIGIBILITY = f"""
+WITH raw AS (
+  SELECT unnest(elements) AS e
+  FROM read_json('{_OVERPASS_INPUT}', columns={_OVERPASS_COLS})
+),
+nodes AS (SELECT e.id AS nid, e.lon, e.lat FROM raw WHERE e.type = 'node'),
+ways AS (SELECT e.id AS way_id, e.nodes AS nds, e.tags AS tags FROM raw WHERE e.type = 'way'),
+rel_members AS (
+  SELECT DISTINCT m.ref AS way_id
+  FROM raw, unnest(e.members) AS t(m)
+  WHERE e.type = 'relation' AND m.type = 'way'
+),
+eligible AS (
+  SELECT * FROM ways
+  WHERE tags['building'][1] IS NOT NULL AND tags['building:part'][1] IS NULL
+    AND len(nds) > 2 AND nds[1] = nds[-1]
+    AND way_id NOT IN (SELECT way_id FROM rel_members)
+),
+positions AS (
+  SELECT way_id, tags, u.pos, u.nid
+  FROM eligible,
+       unnest(list_transform(range(1, len(nds) + 1),
+                             i -> {{'pos': i, 'nid': nds[i]}})) AS t(u)
+),
+rings AS (
+  SELECT p.way_id AS osm_id, any_value(p.tags) AS tags,
+         list([n.lon, n.lat] ORDER BY p.pos) AS ring
+  FROM positions p JOIN nodes n ON n.nid = p.nid
+  GROUP BY p.way_id
+),
+m AS (SELECT *, len(ring) AS n FROM rings)
+SELECT osm_id,
+  CAST(n AS INT) AS n_nodes,
+  CASE WHEN n > 0 AND ring[1][1] = ring[-1][1] AND ring[1][2] = ring[-1][2] THEN
+    CAST(trunc(list_reduce([0.0::DOUBLE] || list_transform(range(1, n), i ->
+        (ring[i+1][1]*{_LAT_DIST_MERGE}*cos(radians(ring[i+1][2]))
+         - ring[i][1]*{_LAT_DIST_MERGE}*cos(radians(ring[i][2])))
+      * (ring[i+1][2]*{_LAT_DIST_MERGE} + ring[i][2]*{_LAT_DIST_MERGE})
+    ), (acc, x) -> acc + x) / 2.0) AS BIGINT)
+  ELSE 0 END AS area,
+  round(list_reduce([0.0::DOUBLE] || list_transform(range(1, n), i -> ring[i][1]),
+        (a, x) -> a + x) / (n - 1), 7) AS c_lon,
+  round(list_reduce([0.0::DOUBLE] || list_transform(range(1, n), i -> ring[i][2]),
+        (a, x) -> a + x) / (n - 1), 7) AS c_lat,
+  len(list_filter(map_keys(tags),
+      k -> k != 'building' AND k != 'source' AND NOT contains(k, 'addr:'))) > 0
+    AS tagged,
+  tags['ref:bygningsnr'][1] AS ref_tag
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible engine operators)
 # ---------------------------------------------------------------------------
 
@@ -1077,6 +1367,12 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "progress_metrics": q_progress_metrics,
     # rows-only (non-SQL-expressible engine operators)
+    "geom_distance_bearing": q_geom_distance_bearing,
+    "polygon_metrics": q_polygon_metrics,
+    "node_census": q_node_census,
+    "bbox_modes": q_bbox_modes,
+    "offset_round7": q_offset_round7,
+    "osm_eligibility": q_osm_eligibility,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -1123,6 +1419,12 @@ ORACLES = {
     # same brute-force SQL truth as cosine_topk verifies the IVF machinery
     "ivf_topk": ORACLE_COSINE,
     "quality_fingerprint": ORACLE_QUALITY,
+    "geom_distance_bearing": ORACLE_GEOM_DIST,
+    "polygon_metrics": ORACLE_POLYGON_METRICS,
+    "node_census": ORACLE_NODE_CENSUS,
+    "bbox_modes": ORACLE_BBOX_MODES,
+    "offset_round7": ORACLE_OFFSET,
+    "osm_eligibility": ORACLE_OSM_ELIGIBILITY,
 }
 
 

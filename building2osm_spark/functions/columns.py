@@ -48,6 +48,61 @@ def coordinate_offset_cols(lon: Column, lat: Column, dist_m: float) -> tuple[Col
     return new_lon, new_lat
 
 
+def bearing_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Forward azimuth in degrees [0, 360) — native form of
+    building2osm.py:160-167 (F5)."""
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    dlon = rlon2 - rlon1
+    y = F.sin(dlon) * F.cos(rlat2)
+    x = F.cos(rlat1) * F.sin(rlat2) - F.sin(rlat1) * F.cos(rlat2) * F.cos(dlon)
+    return F.pmod(F.degrees(F.atan2(y, x)) + F.lit(360.0), F.lit(360.0))
+
+
+def polygon_area_col(ring: Column, radius: float = EARTH_RADIUS) -> Column:
+    """Signed shoelace m² area truncated to long — native (sequential HOF
+    fold, deterministic order) form of geom.polygon_area /
+    building2osm.py:120-137. ring: array<array<double>> closed outer ring.
+    Returns 0 for unclosed rings, like the reference."""
+    lat_dist = F.lit(3.141592653589793 * radius / 180.0)
+
+    def x_of(p):
+        return p[0] * lat_dist * F.cos(F.radians(p[1]))
+
+    def y_of(p):
+        return p[1] * lat_dist
+
+    n = F.size(ring)
+    pairs = F.zip_with(
+        F.slice(ring, 1, n - 1),
+        F.slice(ring, 2, n - 1),
+        lambda a, b: (x_of(b) - x_of(a)) * (y_of(b) + y_of(a)),
+    )
+    total = F.aggregate(pairs, F.lit(0.0), lambda acc, v: acc + v)
+    closed = (F.element_at(ring, 1)[0] == F.element_at(ring, -1)[0]) & (
+        F.element_at(ring, 1)[1] == F.element_at(ring, -1)[1]
+    )
+    return F.when((n > 0) & closed, (total / F.lit(2.0)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def polygon_centre_cols(ring: Column) -> tuple[Column, Column]:
+    """Vertex-average centre, closing duplicate excluded — native form of
+    geom.polygon_centre / building2osm.py:143-154."""
+    n = F.size(ring)
+    closed = (
+        (n > 1)
+        & (F.element_at(ring, 1)[0] == F.element_at(ring, -1)[0])
+        & (F.element_at(ring, 1)[1] == F.element_at(ring, -1)[1])
+    )
+    body = F.when(closed, F.slice(ring, 1, n - 1)).otherwise(ring)
+    m = F.size(body).cast("double")
+    lon = F.aggregate(body, F.lit(0.0), lambda acc, p: acc + p[0]) / m
+    lat = F.aggregate(body, F.lit(0.0), lambda acc, p: acc + p[1]) / m
+    return lon, lat
+
+
 # --- reference scalar string functions -------------------------------------
 
 def fix_url_col(col: Column) -> Column:

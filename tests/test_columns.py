@@ -127,3 +127,53 @@ def test_dedupe_consecutive_column_parity():
     out = geom.dedupe_consecutive(vals)
     want = ref_b2o.parse_polygon("0 0 1 1 0 0 2 2")
     assert [tuple(p) for p in out] == want
+
+
+def test_native_polygon_scalars_match_numpy(spark):
+    """polygon_area_col / polygon_centre_cols / bearing_col (native
+    Catalyst) vs the geom.py numpy kernels that are themselves
+    reference-parity-tested."""
+    from building2osm_spark.functions.columns import (
+        bearing_col,
+        polygon_area_col,
+        polygon_centre_cols,
+    )
+    from building2osm_spark.sources.fixtures import (
+        GEOMETRY_POLYGON_T,
+        building_geometries,
+    )
+
+    geoms = building_geometries(300)
+    df = spark.createDataFrame(geoms, schema=f"ref string, geometry {GEOMETRY_POLYGON_T}")
+    ring = F.col("geometry")[0]
+    c_lon, c_lat = polygon_centre_cols(ring)
+    got = {
+        r["ref"]: r
+        for r in df.select(
+            "ref",
+            polygon_area_col(ring).alias("area"),
+            c_lon.alias("c_lon"),
+            c_lat.alias("c_lat"),
+        ).collect()
+    }
+    for ref, rings in geoms:
+        outer = np.asarray(rings[0], dtype=np.float64)
+        assert got[ref]["area"] == geom.polygon_area(outer), ref
+        want = geom.polygon_centre(outer)
+        assert abs(got[ref]["c_lon"] - want[0]) < 1e-12
+        assert abs(got[ref]["c_lat"] - want[1]) < 1e-12
+
+    pts = spark.createDataFrame(
+        [(10.0, 59.0, 10.5, 59.3), (10.0, 59.0, 9.7, 58.8), (10.0, 59.0, 10.0, 59.5)],
+        schema="lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    got_b = [
+        r[0]
+        for r in pts.select(
+            bearing_col(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"))
+        ).collect()
+    ]
+    want_b = geom.bearing(
+        np.array([[10.0, 59.0]] * 3), np.array([[10.5, 59.3], [9.7, 58.8], [10.0, 59.5]])
+    )
+    assert np.allclose(got_b, want_b, atol=1e-9)
