@@ -1137,6 +1137,78 @@ FROM m
 """
 
 
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — symmetric vertex→segment Hausdorff between neighbouring fixture
+    buildings, computed by the native hausdorff_col (the same expression
+    that powers conflation J2); the oracle recomputes the full max-min
+    matrix in DuckDB SQL."""
+    b = spark.read.parquet(_BUILDINGS_INPUT)
+    a = b.select(
+        F.col("ref").cast("long").alias("k"), F.col("geometry")[0].alias("ra")
+    )
+    c = b.select(
+        (F.col("ref").cast("long") - 1).alias("k"), F.col("geometry")[0].alias("rb")
+    )
+    from .functions.columns import hausdorff_col
+
+    return (
+        a.join(c, "k")
+        .select(
+            F.col("k").alias("ref_a"),
+            F.round(hausdorff_col(F.col("ra"), F.col("rb")), 6).alias("hausdorff_m"),
+        )
+    )
+
+
+def _hausdorff_oracle() -> str:
+    seg = (
+        "6371000.0 * sqrt(pow("
+        "CASE WHEN lsq != 0.0 THEN (CASE WHEN prm < 0.0 THEN x1 WHEN prm > 1.0 THEN x2 "
+        "ELSE x1 + prm * (x2 - x1) END) ELSE x1 END - x3, 2) + pow("
+        "CASE WHEN lsq != 0.0 THEN (CASE WHEN prm < 0.0 THEN y1 WHEN prm > 1.0 THEN y2 "
+        "ELSE y1 + prm * (y2 - y1) END) ELSE y1 END - y3, 2))"
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST(ref AS BIGINT) AS k, geometry[1] AS ring
+  FROM read_parquet('{_BUILDINGS_INPUT}')
+),
+pairs AS (
+  SELECT a.k AS ref_a, a.ring AS ra, c.ring AS rb
+  FROM b a JOIN b c ON c.k = a.k + 1
+),
+pts AS (
+  -- directed max-min both ways: explode vertices of one ring x segments
+  -- of the other (dir 0: ra verts vs rb segs; dir 1: rb verts vs ra segs)
+  SELECT ref_a, dir, vi,
+         radians(v[1]) * cos(radians(v[2])) AS x3, radians(v[2]) AS y3,
+         radians(s1[1]) * cos(radians(s1[2])) AS x1, radians(s1[2]) AS y1,
+         radians(s2[1]) * cos(radians(s2[2])) AS x2, radians(s2[2]) AS y2
+  FROM pairs,
+       unnest([0, 1]) AS d(dir),
+       LATERAL (SELECT CASE WHEN dir = 0 THEN ra ELSE rb END AS vr,
+                       CASE WHEN dir = 0 THEN rb ELSE ra END AS sr) rr,
+       unnest(list_transform(range(1, len(vr)), i -> {{'vi': i, 'v': vr[i]}})) AS tv(u1),
+       unnest(list_transform(range(1, len(sr)), j -> {{'s1': sr[j], 's2': sr[j+1]}})) AS ts(u2),
+       LATERAL (SELECT u1.vi AS vi, u1.v AS v, u2.s1 AS s1, u2.s2 AS s2) q
+),
+dists AS (
+  SELECT ref_a, dir, vi,
+         {seg.replace('prm', '((x3 - x1) * (x2 - x1) + (y3 - y1) * (y2 - y1)) / lsq')
+             .replace('lsq', '(pow(x2 - x1, 2) + pow(y2 - y1, 2))')} AS d
+  FROM pts
+),
+minper AS (
+  SELECT ref_a, dir, vi, min(d) AS dmin FROM dists GROUP BY 1, 2, 3
+)
+SELECT ref_a, round(max(dmin), 6) AS hausdorff_m
+FROM minper GROUP BY ref_a
+"""
+
+
+ORACLE_HAUSDORFF = _hausdorff_oracle()
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible engine operators)
 # ---------------------------------------------------------------------------
@@ -1373,6 +1445,7 @@ QUERIES = {
     "bbox_modes": q_bbox_modes,
     "offset_round7": q_offset_round7,
     "osm_eligibility": q_osm_eligibility,
+    "hausdorff_pairs": q_hausdorff_pairs,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -1425,6 +1498,7 @@ ORACLES = {
     "bbox_modes": ORACLE_BBOX_MODES,
     "offset_round7": ORACLE_OFFSET,
     "osm_eligibility": ORACLE_OSM_ELIGIBILITY,
+    "hausdorff_pairs": ORACLE_HAUSDORFF,
 }
 
 

@@ -87,6 +87,64 @@ def polygon_area_col(ring: Column, radius: float = EARTH_RADIUS) -> Column:
     )
 
 
+def _seg_distance(p: Column, a: Column, b: Column) -> Column:
+    """Metre distance from point p to segment (a, b) — native form of the
+    reference's line_distance (building_merge.py:78-114): cos-latitude
+    planar projection, clamped parametric projection, equirect metres."""
+    x3 = F.radians(p[0]) * F.cos(F.radians(p[1]))
+    y3 = F.radians(p[1])
+    x1 = F.radians(a[0]) * F.cos(F.radians(a[1]))
+    y1 = F.radians(a[1])
+    x2 = F.radians(b[0]) * F.cos(F.radians(b[1]))
+    y2 = F.radians(b[1])
+    dx = x2 - x1
+    dy = y2 - y1
+    len_sq = dx * dx + dy * dy
+    dot = (x3 - x1) * dx + (y3 - y1) * dy
+    param = F.when(len_sq != 0.0, dot / len_sq).otherwise(F.lit(-1.0))
+    t = F.least(F.greatest(param, F.lit(0.0)), F.lit(1.0))
+    x4 = x1 + t * dx
+    y4 = y1 + t * dy
+    ddx = x4 - x3
+    ddy = y4 - y3
+    return F.lit(EARTH_RADIUS) * F.sqrt(ddx * ddx + ddy * ddy)
+
+
+def hausdorff_col(ring_a: Column, ring_b: Column) -> Column:
+    """Symmetric Hausdorff between two closed rings, vertex→segment metric
+    — native form of geom.hausdorff_distance / building_merge.py:226-274
+    (the reference's early-break is a CPU shortcut with identical value).
+
+    Use when a plan must stay Python-free (or for SQL-verifiable results:
+    the hausdorff_pairs driver oracle recomputes this in DuckDB). For
+    throughput, prefer udfs.hausdorff_udf — measured 2× faster at 100k
+    city pairs: the nested transform/zip_with allocations per element
+    lose to one vectorized numpy matrix kernel per Arrow batch (operators/
+    conflate.py kernel-choice note)."""
+
+    def directed(verts_ring: Column, seg_ring: Column) -> Column:
+        n = F.size(seg_ring)
+        segs = F.zip_with(
+            F.slice(seg_ring, 1, n - 1),
+            F.slice(seg_ring, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        verts = F.slice(verts_ring, 1, F.size(verts_ring) - 1)
+        return F.array_max(
+            F.transform(
+                verts,
+                lambda v: F.array_min(
+                    F.transform(segs, lambda s: _seg_distance(v, s["a"], s["b"]))
+                ),
+            )
+        )
+
+    ok = (F.size(ring_a) > 1) & (F.size(ring_b) > 1)
+    return F.when(
+        ok, F.greatest(directed(ring_a, ring_b), directed(ring_b, ring_a))
+    ).otherwise(F.lit(0.0))
+
+
 def polygon_centre_cols(ring: Column) -> tuple[Column, Column]:
     """Vertex-average centre, closing duplicate excluded — native form of
     geom.polygon_centre / building2osm.py:143-154."""

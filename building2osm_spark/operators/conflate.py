@@ -11,7 +11,9 @@ by a set-based formulation:
      (building_merge.py:694-701 forward, :625-632 reverse), then the exact
      strict-inequality bbox predicates as native filters (convention:
      min < c < max, NOT ≤ — SURVEY.md P5);
-  3. symmetric Hausdorff per pair, once, in an Arrow pandas UDF;
+  3. symmetric Hausdorff per pair, once, in an Arrow numpy kernel (the
+     native columns.hausdorff_col variant measured 2× slower — see the
+     kernel-choice note at the scoring step);
   4. forward best per OSM building over forward-bbox pairs (W1) and
      reverse best per import building over reverse-bbox pairs (W2) via
      row_number windows; mutual-best inner join; thresholds
@@ -152,7 +154,12 @@ def conflate(
     ).filter(F.col("fwd") | F.col("rev"))
 
     # symmetric Hausdorff once per surviving pair (F9): rings join in only
-    # here, after the bbox filter has cut candidates to ≈1 per building
+    # here, after the bbox filter has cut candidates to ≈1 per building.
+    # Kernel choice is MEASURED, not assumed: the native HOF expression
+    # (columns.hausdorff_col, exercised by the hausdorff_pairs oracle) is
+    # ~2× slower here — nested transform/zip_with allocations per element
+    # lose to one vectorized numpy matrix kernel per Arrow batch
+    # (5.0 s vs 2.4 s at 100k city pairs; NOTES 'hard-won facts' #4).
     scored = (
         cand.join(o_rings, "osm_id")
         .join(i_rings, "i_ref")
