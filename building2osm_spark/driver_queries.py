@@ -1209,6 +1209,139 @@ FROM minper GROUP BY ref_a
 ORACLE_HAUSDORFF = _hausdorff_oracle()
 
 
+def q_centroid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — determinant-weighted centroid (building_merge.py:185-204),
+    native fold over the committed fixture's outer rings."""
+    b = spark.read.parquet(_BUILDINGS_INPUT)
+    ring = F.col("geometry")[0]
+    n = F.size(ring)
+    pairs = F.zip_with(
+        F.slice(ring, 1, n - 1),
+        F.slice(ring, 2, n - 1),
+        lambda a, b2: F.struct(
+            (a[0] * b2[1] - b2[0] * a[1]).alias("d"),
+            ((a[0] + b2[0]) * (a[0] * b2[1] - b2[0] * a[1])).alias("cx"),
+            ((a[1] + b2[1]) * (a[0] * b2[1] - b2[0] * a[1])).alias("cy"),
+        ),
+    )
+    det = F.aggregate(pairs, F.lit(0.0), lambda acc, p: acc + p["d"])
+    cx = F.aggregate(pairs, F.lit(0.0), lambda acc, p: acc + p["cx"]) / (3.0 * det)
+    cy = F.aggregate(pairs, F.lit(0.0), lambda acc, p: acc + p["cy"]) / (3.0 * det)
+    return b.select(
+        "ref",
+        F.round(cx, 6).alias("centroid_lon"),
+        F.round(cy, 6).alias("centroid_lat"),
+    )
+
+
+ORACLE_CENTROID = f"""
+WITH b AS (
+  SELECT ref, geometry[1] AS ring, len(geometry[1]) AS n
+  FROM read_parquet('{_BUILDINGS_INPUT}')
+),
+m AS (
+  SELECT ref,
+    list_reduce([0.0::DOUBLE] || list_transform(range(1, n),
+      i -> ring[i][1] * ring[i+1][2] - ring[i+1][1] * ring[i][2]),
+      (a, x) -> a + x) AS det,
+    list_reduce([0.0::DOUBLE] || list_transform(range(1, n),
+      i -> (ring[i][1] + ring[i+1][1])
+           * (ring[i][1] * ring[i+1][2] - ring[i+1][1] * ring[i][2])),
+      (a, x) -> a + x) AS sx,
+    list_reduce([0.0::DOUBLE] || list_transform(range(1, n),
+      i -> (ring[i][2] + ring[i+1][2])
+           * (ring[i][1] * ring[i+1][2] - ring[i+1][1] * ring[i][2])),
+      (a, x) -> a + x) AS sy
+  FROM b
+)
+SELECT ref, round(sx / (3.0 * det), 6) AS centroid_lon,
+            round(sy / (3.0 * det), 6) AS centroid_lat
+FROM m
+"""
+
+
+def q_building_types_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/F19 — the building-type osm_tag parse ('building=museum +
+    tourism=museum' → tag map), emitted as a canonical sorted string so
+    both engines compare exactly."""
+    from .sources.dims import building_types
+
+    bt = building_types(spark)
+    entries = F.map_entries(F.col("tags"))
+    canon = F.array_join(
+        F.array_sort(F.transform(entries, lambda e: F.concat_ws("=", e["key"], e["value"]))),
+        ";",
+    )
+    return bt.select("type_id", "name", canon.alias("tags_str"))
+
+
+def _building_types_oracle() -> str:
+    from .sources.dims import BUILDING_TYPES_ROWS
+
+    values = ",\n    ".join(
+        "(%s, %s, %s)"
+        % tuple("'" + v.replace("'", "''") + "'" for v in row)
+        for row in BUILDING_TYPES_ROWS
+    )
+    return f"""
+WITH src(type_id, name, osm_tag) AS (VALUES
+    {values}
+),
+parsed AS (
+  SELECT type_id, name,
+    list_filter(string_split(replace(osm_tag, ' ', ''), '+'), p -> p != '') AS pairs
+  FROM src
+)
+SELECT type_id, name,
+  -- mirror the engine's base-map merge (building=yes unless the parsed
+  -- pairs carry their own building=* key — LAST_WIN map_concat)
+  array_to_string(list_sort(
+    CASE WHEN len(list_filter(pairs, p -> p LIKE 'building=%')) > 0
+         THEN pairs
+         ELSE ['building=yes'] || pairs END), ';') AS tags_str
+FROM parsed
+"""
+
+
+ORACLE_BUILDING_TYPES = _building_types_oracle()
+
+
+def q_rotate_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — rotate_node (building2osm.py:200-213): rotate the derived
+    points 37° around a fixed axis with cos(lat) x-scaling."""
+    pts = _points(spark, sf_dir)
+    ax_lon, ax_lat = 10.80, 59.95
+    r = F.lit(37.0 * 3.141592653589793 / 180.0)
+    cos_axis = F.lit(__import__("math").cos(59.95 * 3.141592653589793 / 180.0))
+    tr_x = (F.col("lon") - ax_lon) * cos_axis
+    tr_y = F.col("lat") - ax_lat
+    xr = tr_x * F.cos(r) - tr_y * F.sin(r)
+    yr = tr_x * F.sin(r) + tr_y * F.cos(r)
+    return pts.select(
+        "point_id",
+        F.round(xr / cos_axis + ax_lon, 6).alias("rot_lon"),
+        F.round(yr + ax_lat, 6).alias("rot_lat"),
+    )
+
+
+_ROT_R = repr(37.0 * 3.141592653589793 / 180.0)
+_ROT_COS_AXIS = repr(__import__("math").cos(59.95 * 3.141592653589793 / 180.0))
+
+ORACLE_ROTATE = f"""
+WITH p AS ({_POINTS_SQL}),
+t AS (
+  SELECT point_id,
+         (lon - 10.80) * {_ROT_COS_AXIS} AS tr_x,
+         lat - 59.95 AS tr_y
+  FROM p
+)
+SELECT point_id,
+  round((tr_x * cos({_ROT_R}) - tr_y * sin({_ROT_R})) / {_ROT_COS_AXIS} + 10.80, 6) AS rot_lon,
+  round((tr_x * sin({_ROT_R}) + tr_y * cos({_ROT_R})) + 59.95, 6) AS rot_lat
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible engine operators)
 # ---------------------------------------------------------------------------
@@ -1446,6 +1579,9 @@ QUERIES = {
     "offset_round7": q_offset_round7,
     "osm_eligibility": q_osm_eligibility,
     "hausdorff_pairs": q_hausdorff_pairs,
+    "centroid_metrics": q_centroid_metrics,
+    "building_types_parse": q_building_types_parse,
+    "rotate_points": q_rotate_points,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -1499,6 +1635,9 @@ ORACLES = {
     "offset_round7": ORACLE_OFFSET,
     "osm_eligibility": ORACLE_OSM_ELIGIBILITY,
     "hausdorff_pairs": ORACLE_HAUSDORFF,
+    "centroid_metrics": ORACLE_CENTROID,
+    "building_types_parse": ORACLE_BUILDING_TYPES,
+    "rotate_points": ORACLE_ROTATE,
 }
 
 
