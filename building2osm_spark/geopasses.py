@@ -278,6 +278,15 @@ def rectify_group(buildings_in: list[list[Ring]]) -> RectifyResult:
             if count_corners % 2 == 1:
                 conform = False
                 reason = "No, odd number %i" % count_corners  # building2osm.py:1072
+            elif conform and not patch_walls:
+                # zero square corners (fully degenerate ring, e.g. all
+                # vertices identical): nothing to rectify. The reference
+                # would crash at its own unguarded patch_walls[0]
+                # (building2osm.py:1077) but can never receive such a ring —
+                # its parse_polygon dedupe (:296-315, our P2) collapses it
+                # below the 5-vertex check first. Treat as non-conform.
+                conform = False
+                reason = "No"
             elif conform:
                 # wrap the trailing open wall onto the patch's first wall
                 patch_walls[0].nodes = wall.nodes + patch_walls[0].nodes
