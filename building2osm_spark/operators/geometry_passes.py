@@ -362,47 +362,101 @@ def simplify(rectified_df: DataFrame) -> DataFrame:
     return out
 
 
+def _fused_component(buildings: list) -> tuple:
+    """Fused rectify+simplify for ONE connected component.
+
+    Vertex coordinates never cross component boundaries (a coordinate
+    shared by two buildings puts them in the same component by
+    construction, and non-rectified buildings — the only mark sources —
+    keep their original coordinates), so the global simplify state —
+    vertex-use census, simplify marks, rectify-removed nodes — decomposes
+    exactly per component. Same GP kernels as the staged path; outputs
+    tuple-identical (parity-asserted in test_geometry_passes_spark).
+
+    Returns (geoms, status, n_removed_list, relocated, reason)."""
+    res = GP.rectify_group(buildings)
+    # census: vertex occurrence counts across the whole component
+    # INCLUDING the closing node (mirrors _explode_vertices(True))
+    uses: dict[tuple, int] = {}
+    for rings in res.buildings:
+        for ring in rings:
+            for node in ring:
+                uses[node] = uses.get(node, 0) + 1
+    # marks only from non-rectified buildings (simplify() filters
+    # rectified != 'done'); rectify status is group-level
+    marked: dict[tuple, int] = {}
+    if res.status != "done":
+        for rings in res.buildings:
+            for node in GP.simplify_marks(rings):
+                marked[node] = marked.get(node, 0) + 1
+    removable = {node for node, n in uses.items() if marked.get(node, 0) == n}
+    removable |= res.removed_nodes
+    geoms, counts = [], []
+    for rings in res.buildings:
+        new_rings, n = GP.remove_marked(rings, removable)
+        geoms.append([[list(p) for p in ring] for ring in new_rings])
+        counts.append(n)
+    return geoms, res.status, counts, res.relocated, res.reason
+
+
 def _rectify_simplify_singles_kernel(batches):
     """Fused rectify+simplify for SINGLETON buildings (no vertex shared
-    with any other building): for these, the global simplify state —
-    vertex-use census, simplify marks, rectify-removed nodes — reduces to
-    the building's own vertices, so the whole pass is one map-only kernel.
-    Exactly the same GP kernels as the global path; outputs are
-    tuple-identical (parity-asserted in test_geometry_passes_spark)."""
+    with any other building) — map-only, zero shuffles."""
     for pdf in batches:
         out = {"ref": [], "geometry": [], "rectified": [], "n_removed": [],
                "relocated": [], "reason": []}
         for ref, g in zip(pdf["ref"], pdf["geometry"]):
-            res = GP.rectify_group([_to_rings(g)])
-            rings = res.buildings[0]
-            # local census: vertex occurrence counts INCLUDING the closing
-            # node (mirrors _explode_vertices(include_closing=True))
-            uses: dict[tuple, int] = {}
-            for ring in rings:
-                for node in ring:
-                    uses[node] = uses.get(node, 0) + 1
-            # marks only from non-rectified buildings (simplify() filters
-            # rectified != 'done')
-            marked: dict[tuple, int] = {}
-            if res.status != "done":
-                for node in GP.simplify_marks(rings):
-                    marked[node] = marked.get(node, 0) + 1
-            removable = {
-                node for node, n in uses.items() if marked.get(node, 0) == n
-            }
-            removable |= res.removed_nodes
-            # own non-closing vertices ∩ removable
-            own = set()
-            for ring in rings:
-                own.update(ring[:-1])
-            new_rings, n = GP.remove_marked(rings, own & removable)
+            geoms, status, counts, relocated, reason = _fused_component(
+                [_to_rings(g)]
+            )
             out["ref"].append(ref)
-            out["geometry"].append([[list(p) for p in ring] for ring in new_rings])
-            out["rectified"].append(res.status)
-            out["n_removed"].append(n)
-            out["relocated"].append(res.relocated)
-            out["reason"].append(res.reason)
+            out["geometry"].append(geoms[0])
+            out["rectified"].append(status)
+            out["n_removed"].append(counts[0])
+            out["relocated"].append(relocated)
+            out["reason"].append(reason)
         yield pd.DataFrame(out)
+
+
+def _fused_group_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("ref")  # canonical insertion order (SURVEY.md O1/O4)
+    buildings = [_to_rings(g) for g in pdf["geometry"]]
+    geoms, status, counts, relocated, reason = _fused_component(buildings)
+    n = len(buildings)
+    return pd.DataFrame(
+        {
+            "ref": list(pdf["ref"]),
+            "geometry": geoms,
+            "rectified": [status] * n,
+            "n_removed": counts,
+            "relocated": [relocated] * n,
+            "reason": [reason] * n,
+        }
+    )
+
+
+def _grouped_fused_mapper(batches):
+    """Component-clustered fused rectify+simplify (same carry-buffer shape
+    as _grouped_rectify_mapper — see its docstring for why not
+    applyInPandas)."""
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        last = pdf["component"].iloc[-1]
+        tail_mask = pdf["component"] == last
+        carry = pdf[tail_mask]
+        body = pdf[~tail_mask]
+        if len(body):
+            yield pd.concat(
+                [_fused_group_kernel(sub) for _, sub in body.groupby("component", sort=False)],
+                ignore_index=True,
+            )
+    if carry is not None and len(carry):
+        yield pd.concat(
+            [_fused_group_kernel(sub) for _, sub in carry.groupby("component", sort=False)],
+            ignore_index=True,
+        )
 
 
 def rectify_and_simplify(df: DataFrame) -> DataFrame:
@@ -415,24 +469,87 @@ def rectify_and_simplify(df: DataFrame) -> DataFrame:
     while only the shared-vertex minority takes the global path (label
     propagation + group kernels + cross-building census). The split itself
     is one vertex-census shuffle. At 100k fixture buildings this is ~4×
-    the unified path's throughput; results are identical."""
+    the unified path's throughput; results are identical.
+
+    The shared-vertex minority runs the SAME fused kernel per connected
+    component (vertex coordinates cannot cross component boundaries, so
+    the census/marks/removal state is component-local — the identical
+    argument that justifies the singleton fast path): components →
+    one repartition by component → fused kernel. The staged
+    rectify()/simplify() pair remains as the composable API surface.
+
+    Component derivation reuses the split census: every shared vertex's
+    ref-set IS a hyperedge of the connectivity graph, so below
+    _CC_DRIVER_MAX shared vertices a driver union-find over the collected
+    ref-sets yields the components with zero extra shuffles (the census
+    aggregation already ran); above it, the distributed label-propagation
+    path (connected_components) takes over."""
     verts = _explode_vertices(df, include_closing=False)
-    # single-pass census: collect the ref set per vertex, explode the >1
-    # sets — no second pass over the exploded vertices
-    shared_refs = (
+    # single-pass census: collect the ref set per vertex, keep only the
+    # >1 sets (the connectivity hyperedges)
+    shared_sets = (
         verts.groupBy("vlon", "vlat")
         .agg(F.collect_set("ref").alias("__refs"))
         .filter(F.size("__refs") > 1)
-        .select(F.explode("__refs").alias("ref"))
-        .distinct()
+        .select("__refs")
+        .persist()
     )
-    singles = df.join(shared_refs, "ref", "left_anti")
-    grouped = df.join(shared_refs, "ref", "left_semi")
+    n_edges = shared_sets.count()
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_edges == 0:
+        shared_sets.unpersist()
+        return df.select("ref", "geometry").mapInPandas(
+            _rectify_simplify_singles_kernel, schema=_REMOVE_SCHEMA
+        )
+    if n_edges <= _CC_DRIVER_MAX:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        seen: set[str] = set()
+        for row in shared_sets.collect():
+            refs = row["__refs"]
+            seen.update(refs)
+            r0 = find(refs[0])
+            for ref in refs[1:]:
+                r1 = find(ref)
+                if r0 != r1:
+                    # keep the lexicographically smaller root so the
+                    # component id is the min member ref (CC contract)
+                    if r1 < r0:
+                        r0, r1 = r1, r0
+                    parent[r1] = r0
+        shared_sets.unpersist()
+        comps = F.broadcast(
+            spark.createDataFrame(
+                [(ref, find(ref)) for ref in sorted(seen)],
+                schema="ref string, component string",
+            )
+        )
+    else:
+        shared_refs = shared_sets.select(
+            F.explode("__refs").alias("ref")
+        ).distinct()
+        comps = connected_components(df.join(shared_refs, "ref", "left_semi"))
+        shared_sets.unpersist()
+
+    singles = df.join(comps, "ref", "left_anti")
+    grouped = df.join(comps, "ref")
 
     singles_out = singles.select("ref", "geometry").mapInPandas(
         _rectify_simplify_singles_kernel, schema=_REMOVE_SCHEMA
     )
-    comps = connected_components(grouped)
-    grouped_rectified = _rectify_components(grouped.join(comps, "ref"))
-    grouped_out = simplify(grouped_rectified)
+    grouped_out = (
+        grouped.select("ref", "geometry", "component")
+        .repartition(n, "component")
+        .sortWithinPartitions("component", "ref")
+        .mapInPandas(_grouped_fused_mapper, schema=_REMOVE_SCHEMA)
+    )
     return singles_out.unionByName(grouped_out)
