@@ -291,6 +291,28 @@ def main() -> None:
 
     conflate_city_100k()  # warm-up + fixture materialization
     timed("conflate_city_100k", conflate_city_100k)
+
+    def conflate_city_1m():
+        # 10× the city bench with fully executor-side generation
+        # (distributed_city_conflation — the driver never sees a row):
+        # linearity evidence for the candidate join at metropolitan scale.
+        from building2osm_spark.operators.conflate import conflate
+        from building2osm_spark.sources.fixtures import distributed_city_conflation
+
+        osm_p = "/tmp/bench_osm_city1m.parquet"
+        imp_p = "/tmp/bench_imp_city1m.parquet"
+        if not os.path.exists(os.path.join(osm_p, "_SUCCESS")):
+            osm, imp = distributed_city_conflation(spark, 1_000_000)
+            osm.write.mode("overwrite").parquet(osm_p)
+            imp.write.mode("overwrite").parquet(imp_p)
+        n = conflate(
+            spark.read.parquet(osm_p), spark.read.parquet(imp_p)
+        ).count()
+        extras["conflate_city_1m_matches"] = n
+        return n
+
+    conflate_city_1m()  # warm-up + fixture materialization
+    timed("conflate_city_1m", conflate_city_1m)
     def minhash_fast():
         # engine fast path: xxhash64 base hash (the md5 default exists for
         # bit-exact external-SQL verifiability; the plan is identical)

@@ -581,6 +581,147 @@ def city_conflation_pdfs(n: int, urban_frac: float = 0.2, seed: int = 42):
     return osm_pdf, import_pdf
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (vectorized, wraps mod 2^64)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return x ^ (x >> np.uint64(31))
+
+
+def _unif(ids: np.ndarray, stream: int) -> np.ndarray:
+    """Deterministic uniforms in [0,1) — a pure function of (id, stream),
+    independent of batching/partitioning (task-retry safe)."""
+    h = _mix64(ids.astype(np.uint64) * np.uint64(0x2545F4914F6CDD1D) + np.uint64(stream))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def city_conflation_rows_for_ids(ids, n: int, urban_frac: float = 0.2):
+    """The per-id row body of city_conflation_pdfs, as a pure function of
+    id (hash-derived uniforms instead of a sequential rng) so generation
+    can run IN EXECUTORS over spark.range(n) at any scale. Same skew shape
+    and planted-match fractions as city_conflation_pdfs; values differ
+    (different random stream) but the conflation ground truth — matches =
+    rows with both sides present — is identical by construction.
+
+    Returns (osm_pdf, import_pdf) for exactly these ids."""
+    ids = np.asarray(ids, dtype=np.int64)
+    minlon, minlat, maxlon, maxlat = BBOX
+    n_urban = int(n * urban_frac)
+
+    urban = ids < n_urban
+    # urban grid at 25 m pitch, rural at 250 m — identical layout to
+    # city_conflation_pdfs (position is a pure function of id)
+    cols_u = max(int(np.ceil(np.sqrt(n_urban))), 1)
+    cols_r = max(int(np.ceil(np.sqrt(n - n_urban))), 1)
+    iu = ids
+    ir = ids - n_urban
+    lat0_u, lon0_u = minlat + 0.02, minlon + 0.02
+    lat0_r, lon0_r = minlat + 0.09, minlon + 0.02
+    cy = np.where(
+        urban,
+        lat0_u + (iu // cols_u) * (25.0 / 111320.0),
+        lat0_r + (ir // cols_r) * (250.0 / 111320.0),
+    )
+    cx = np.where(
+        urban,
+        lon0_u + (iu % cols_u) * (25.0 / (111320.0 * np.cos(np.radians(lat0_u)))),
+        lon0_r + (ir % cols_r) * (250.0 / (111320.0 * np.cos(np.radians(lat0_r)))),
+    )
+
+    m = len(ids)
+    w = _unif(ids, 1) * 12 + 8
+    h = _unif(ids, 2) * 12 + 8
+    ang = np.radians(_unif(ids, 3) * 180)
+    corners = np.stack(
+        [
+            np.stack([-w / 2, -h / 2], axis=1),
+            np.stack([w / 2, -h / 2], axis=1),
+            np.stack([w / 2, h / 2], axis=1),
+            np.stack([-w / 2, h / 2], axis=1),
+            np.stack([-w / 2, -h / 2], axis=1),
+        ],
+        axis=1,
+    )
+    rot = np.stack(
+        [
+            np.stack([np.cos(ang), -np.sin(ang)], axis=1),
+            np.stack([np.sin(ang), np.cos(ang)], axis=1),
+        ],
+        axis=1,
+    )
+    m_xy = np.einsum("npk,nkj->npj", corners, rot)
+    dlat = m_xy[:, :, 1] / 111320.0
+    dlon = m_xy[:, :, 0] / (111320.0 * np.cos(np.radians(cy))[:, None])
+    rings = np.round(np.stack([cx[:, None] + dlon, cy[:, None] + dlat], axis=2), 7)
+    area = np.rint(w * h).astype(np.int64)
+
+    kind = _unif(ids, 4)
+    has_import = kind < 0.85
+    has_osm = (kind < 0.70) | (kind >= 0.85)
+    off_e = _unif(ids, 5) * 6
+    off_n = _unif(ids, 6) * 5
+    imp_rings = np.round(
+        rings
+        + np.stack(
+            [off_e / (111320.0 * np.cos(np.radians(cy))), off_n / 111320.0], axis=1
+        )[:, None, :],
+        7,
+    )
+
+    osm_pdf = pd.DataFrame(
+        {
+            "osm_id": -(1000 + ids[has_osm]),
+            "ring": [r.tolist() for r in rings[has_osm]],
+            "c_lon": cx[has_osm],
+            "c_lat": cy[has_osm],
+            "area": area[has_osm],
+            "tagged": False,
+            "ref_tag": None,
+            "tags": [{"building": "yes"}] * int(has_osm.sum()),
+        }
+    )
+    icx = imp_rings[:, :-1, 0].mean(axis=1)
+    icy = imp_rings[:, :-1, 1].mean(axis=1)
+    import_pdf = pd.DataFrame(
+        {
+            "ref": (20000000 + ids[has_import]).astype(str),
+            "ring": [r.tolist() for r in imp_rings[has_import]],
+            "c_lon": icx[has_import],
+            "c_lat": icy[has_import],
+            "area": area[has_import],
+            "building": "house",
+        }
+    )
+    return osm_pdf, import_pdf
+
+
+def distributed_city_conflation(spark, n: int, urban_frac: float = 0.2):
+    """(osm_df, import_df) generated IN EXECUTORS (mapInPandas over
+    spark.range(n)) — scales to any n; the driver never materializes a
+    row. Expected match count = rows with both sides planted
+    (kind<0.70 or kind>=0.85 intersected with kind<0.85 → kind<0.70,
+    i.e. ~70% of n)."""
+
+    def gen_osm(batches):
+        for pdf in batches:
+            osm, _ = city_conflation_rows_for_ids(pdf["id"].values, n, urban_frac)
+            if len(osm):
+                yield osm
+
+    def gen_imp(batches):
+        for pdf in batches:
+            _, imp = city_conflation_rows_for_ids(pdf["id"].values, n, urban_frac)
+            if len(imp):
+                yield imp
+
+    rng = spark.range(n)
+    return (
+        rng.mapInPandas(gen_osm, schema=OSM_CONFLATE_SCHEMA),
+        rng.mapInPandas(gen_imp, schema=IMPORT_CONFLATE_SCHEMA),
+    )
+
+
 OSM_CONFLATE_SCHEMA = (
     "osm_id long, ring array<array<double>>, c_lon double, c_lat double, "
     "area long, tagged boolean, ref_tag string, tags map<string,string>"

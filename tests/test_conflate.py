@@ -116,6 +116,42 @@ def test_city_scale_conflation_matches_planted_fraction(spark):
     assert matches.select("osm_id").distinct().count() == n  # one match per building
 
 
+def test_distributed_city_generator_deterministic_and_matches(spark):
+    """Executor-side city generator: rows are a pure function of id (same
+    output under any partitioning — task-retry safe), and conflate
+    recovers exactly the planted pairs (kind < 0.70 has both sides)."""
+    n = 12_000
+    osm1, imp1 = FX.distributed_city_conflation(spark, n)
+    # different partitioning → identical rows
+    osm2 = (
+        spark.range(n).repartition(17)
+        .mapInPandas(
+            lambda it: (
+                FX.city_conflation_rows_for_ids(p["id"].values, n, 0.2)[0]
+                for p in it
+            ),
+            schema=FX.OSM_CONFLATE_SCHEMA,
+        )
+    )
+    assert (
+        osm1.select("osm_id", "c_lon", "c_lat", "area")
+        .exceptAll(osm2.select("osm_id", "c_lon", "c_lat", "area"))
+        .count()
+        == 0
+    )
+    matches = conflate(osm1, imp1)
+    got = matches.count()
+    planted = (
+        osm1.select((-(F.col("osm_id")) - 1000).alias("id"))
+        .join(
+            imp1.select((F.col("ref").cast("long") - 20000000).alias("id")), "id"
+        )
+        .count()
+    )
+    assert got == planted
+    assert matches.select("osm_id").distinct().count() == got
+
+
 def test_conflate_with_tags_debug_and_remove_addr(spark):
     """-debug tag surface (HAUSDORFF/IDENTICAL/SIZE/AREA,
     building_merge.py:450,708,716,733) + the remove_addr intent flag."""
