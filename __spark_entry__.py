@@ -4,9 +4,12 @@ entry():      flagship point-in-polygon tile assignment + kNN fallback on
               the sf0.001 tables (customer-derived points → district grid).
 queries():    one entry per implemented operator from SURVEY.md §2 and the
               training-data additions — see building2osm_spark/driver_queries.py.
-oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible entry;
-              grouped geometry kernels / LSH families / image kernels are
-              rows-only here and parity-tested in tests/ instead.
+oracle_sql(): DuckDB-equivalent SQL for EVERY entry (45/45): independent
+              SQL formulations where expressible (incl. the md5-60bit hash
+              family shared bit-exactly by Spark and DuckDB), and committed
+              expected-output parquet (parity-proven goldens,
+              scripts/gen_expected.py) for the grouped geometry / image
+              kernels.
 """
 
 from __future__ import annotations
@@ -31,6 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
         .groupBy("target_id")
         .agg(F.count("*").alias("n_nearest"))
     )
+    # unconditioned join against a 1-row aggregate: deliberately a 1×N
+    # broadcast nested-loop (constant fan-out), not a data-sized cross join
     return assigned.join(
         knn.select(F.sum("n_nearest").alias("n_knn_total"))
     ).orderBy("district")
