@@ -92,32 +92,58 @@ def minhash_signatures(
     seed: int = 42,
     base_hash: str = "md5",
 ) -> DataFrame:
-    """(id, sig array<long>[n_hashes]) — fully native plan.
+    """(id, sig array<long>[n_hashes]) — fully native, MAP-ONLY plan.
 
     Per shingle: base = base_hash(shingle) mod M; slot i = (a_i·base + b_i)
     mod M (universal hashing over the Mersenne prime 2^31−1); signature
-    slot i = min over shingles. The min-fold is n_hashes separate min()
-    aggregate expressions — Catalyst hash-aggregates them in one pass.
-    base_hash='md5' (default) is bit-reproducible in ANSI SQL (exact
-    DuckDB oracle); 'xxhash64' is the faster JVM-only variant.
+    slot i = min over the document's shingles. The min-fold runs as
+    n_hashes `array_min(transform(...))` expressions over the per-document
+    shingle-base array — no explode, no shuffle at all (a groupBy
+    formulation computes identical values but pays an exchange of
+    64-column rows; measured 12× slower at sf0.1).
+
+    base_hash='md5' (default) hashes the literal k-word shingle strings —
+    bit-reproducible in ANSI SQL (exact DuckDB oracle). 'xxhash64' is the
+    JVM-only fast path and never materializes shingle STRINGS (building
+    the substrings costs ~10× everything else combined): each word is
+    hashed once and a shingle's base is the polynomial of its k word
+    hashes mod M (acc·1000003 + h, bounded < 2^51 — ANSI-safe); shingle
+    identity is collision-equivalent, values differ from the md5 form.
     """
     a, b = _hash_params(n_hashes, seed)
-    shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).withColumn("base", _base_hash(F.col("sh"), base_hash))
-    slots = [
-        (F.lit(a[i]) * F.col("base") + F.lit(b[i])) % _MERSENNE
+    if base_hash == "xxhash64":
+        hs = F.expr(
+            f"transform(split(lower({text_col}), '\\\\s+'),"
+            f" w -> abs(xxhash64(w)) % {_MERSENNE})"
+        )
+        poly = (
+            f"aggregate(slice(__hs, i + 1, {shingle_k}), 0L,"
+            f" (acc, x) -> (acc * 1000003 + x) % {_MERSENNE})"
+        )
+        bases = F.expr(
+            f"CASE WHEN size(__hs) >= {shingle_k} THEN"
+            f" transform(sequence(0, size(__hs) - {shingle_k}), i -> {poly})"
+            f" ELSE array(aggregate(__hs, 0L,"
+            f" (acc, x) -> (acc * 1000003 + x) % {_MERSENNE})) END"
+        )
+        with_bases = df.select(F.col(id_col), hs.alias("__hs")).select(
+            id_col, bases.alias("__bases")
+        )
+    else:
+        with_bases = df.select(
+            F.col(id_col),
+            F.transform(
+                word_shingles(F.col(text_col), shingle_k),
+                lambda s: _base_hash(s, base_hash),
+            ).alias("__bases"),
+        )
+    # one generated SQL string for the 64 mins (per-node py4j round-trips
+    # on a 64-expression tree are the slow path — NOTES.md)
+    mins = ", ".join(
+        f"array_min(transform(__bases, x -> (x * {a[i]}L + {b[i]}L) % {_MERSENNE}))"
         for i in range(n_hashes)
-    ]
-    with_slots = shingled.select(
-        id_col, *[s.alias(f"h{i}") for i, s in enumerate(slots)]
     )
-    agg = with_slots.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
-    )
-    return agg.select(
-        id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
-    )
+    return with_bases.select(id_col, F.expr(f"array({mins})").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -136,6 +162,11 @@ def minhash_lsh_pairs(
     64-slot vectors. The bucket key is the slot values themselves
     (concat_ws), not a hash of them: exact banding, no collision-induced
     false candidates, and bit-reproducible in an external SQL oracle."""
+    # the signature lineage feeds five consumers below (sig_len probe,
+    # both sides of the band join, both payload re-joins) — materialize it
+    # once into ContextCleaner-managed blocks or the upstream signature
+    # computation re-runs per consumer
+    signatures = signatures.localCheckpoint(eager=True)
     sig_len = signatures.selectExpr("size(sig) AS n").first()["n"]
     rows_per_band = sig_len // bands
     banded = signatures.select(
