@@ -243,31 +243,29 @@ def simhash(
     per word, base = base_hash(word) mod M; bit i of the word's 64-bit
     sketch is [(a_i·base + b_i) mod M > M/2] (an unbiased coin per
     (word, i)); per document, vote_i = Σ_words (2·bit−1); simhash bit i is
-    set when vote_i > 0. Shape: explode words → 64 conditional-sum
-    aggregates (one hash-agg pass, partial aggregation map-side) → one
-    bitwise-OR pack. The 64 sums + pack are generated as single SQL
-    expressions (one Catalyst tree each, no per-column py4j round trips).
-    With base_hash='md5' the whole computation is reproducible in DuckDB
-    SQL — see driver ORACLE_SIMHASH."""
+    set when vote_i > 0. Shape: MAP-ONLY — the per-word base hashes stay a
+    per-document array and each vote_i is an `aggregate(...)` fold over it
+    (identical values to the explode + 64 conditional-sum groupBy form,
+    but no exchange of 64-column rows). The 64 folds + the bitwise-OR pack
+    are generated as single SQL expressions (one Catalyst tree each, no
+    per-column py4j round trips). With base_hash='md5' the whole
+    computation is reproducible in DuckDB SQL — see driver ORACLE_SIMHASH."""
     a, b = _hash_params(64, seed)
     half = _MERSENNE // 2
-    words = df.select(
+    hw = df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
-    ).withColumn("h", _base_hash(F.col("w"), base_hash))
-    votes = words.groupBy(id_col).agg(
-        *[
-            F.expr(
-                f"sum(CASE WHEN ({a[i]}L * h + {b[i]}L) % {_MERSENNE}L > {half}L "
-                f"THEN 1 ELSE -1 END)"
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
+        F.transform(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda w: _base_hash(w, base_hash),
+        ).alias("__hw"),
     )
     pack = " | ".join(
-        f"(CASE WHEN v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)" for i in range(64)
+        f"(CASE WHEN aggregate(__hw, 0L, (acc, h) -> acc + "
+        f"(CASE WHEN ({a[i]}L * h + {b[i]}L) % {_MERSENNE}L > {half}L "
+        f"THEN 1 ELSE -1 END)) > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(64)
     )
-    return votes.selectExpr(id_col, f"({pack}) AS simhash")
+    return hw.selectExpr(id_col, f"({pack}) AS simhash")
 
 
 def simhash_near_pairs(
