@@ -61,9 +61,13 @@ def stitch_rings(relation_ways: list[dict]) -> list[list[int]]:
 def assemble_polygon(members: list[dict], ways: dict[int, dict], nodes: dict[int, dict]) -> dict:
     """Relation members → Polygon / MultiPolygon geometry dict.
 
-    Mirrors municipality_split.py:316-351 incl. its asymmetries: inner
-    rings only supported for single-outer polygons; multi-outer relations
-    become MultiPolygon with one ring each.
+    Mirrors municipality_split.py:316-351, EXTENDING the one case the
+    reference refuses (`raise` at municipality_split.py:342): a
+    multi-outer relation with inner ways. Each stitched inner ring is
+    attached to the outer ring containing the most of its vertices
+    (reference ray cast, geom.points_in_ring) — deterministic, robust to
+    rings sharing boundary vertices; an inner contained by no outer is an
+    assembly error (surfaced as the error column, not an exception).
     """
     outer, inner = [], []
     for m in members:
@@ -81,12 +85,26 @@ def assemble_polygon(members: list[dict], ways: dict[int, dict], nodes: dict[int
         for ring in stitch_rings(outer)
     ]
     if len(coords) > 1:
+        polys = [[ring] for ring in coords]
         if inner:
-            raise NotImplementedError(
-                "multipolygon with inner ways not implemented (parity with "
-                "municipality_split.py:342)"
-            )
-        return {"type": "MultiPolygon", "coordinates": [[ring] for ring in coords]}
+            import numpy as np
+
+            from ..geom import points_in_ring
+
+            for iring in stitch_rings(inner):
+                ipts = np.asarray(
+                    [(nodes[nid]["lon"], nodes[nid]["lat"]) for nid in iring],
+                    dtype=np.float64,
+                )
+                votes = [
+                    int(points_in_ring(ipts, np.asarray(poly[0], dtype=np.float64)).sum())
+                    for poly in polys
+                ]
+                best = max(range(len(polys)), key=lambda j: votes[j])
+                if votes[best] == 0:
+                    raise ValueError("inner ring not inside any outer ring")
+                polys[best].append([tuple(p) for p in ipts.tolist()])
+        return {"type": "MultiPolygon", "coordinates": polys}
     if inner:
         coords.extend(
             [(nodes[nid]["lon"], nodes[nid]["lat"]) for nid in ring]

@@ -83,6 +83,61 @@ def test_two_rings_make_multipolygon():
     assert len(geom["coordinates"]) == 2
 
 
+def test_multipolygon_with_inner_ways():
+    """Beyond-reference case (municipality_split.py:342 raises here): two
+    outers + one inner; the hole lands in the outer that contains it."""
+    ways = {
+        600: {"id": 600, "nodes": [10, 11, 12, 13, 10]},
+        601: {"id": 601, "nodes": [20, 21, 22, 20]},
+        602: {"id": 602, "nodes": [30, 31, 32, 30]},
+    }
+    nodes = {
+        10: {"lon": 0.0, "lat": 0.0}, 11: {"lon": 4.0, "lat": 0.0},
+        12: {"lon": 4.0, "lat": 4.0}, 13: {"lon": 0.0, "lat": 4.0},
+        20: {"lon": 5.0, "lat": 5.0}, 21: {"lon": 6.0, "lat": 5.0},
+        22: {"lon": 5.0, "lat": 6.0},
+        30: {"lon": 1.0, "lat": 1.0}, 31: {"lon": 2.0, "lat": 1.0},
+        32: {"lon": 1.0, "lat": 2.0},
+    }
+    members = [
+        {"type": "way", "ref": 600, "role": "outer"},
+        {"type": "way", "ref": 601, "role": "outer"},
+        {"type": "way", "ref": 602, "role": "inner"},
+    ]
+    geom = assemble_polygon(members, ways, nodes)
+    assert geom["type"] == "MultiPolygon"
+    assert len(geom["coordinates"]) == 2
+    # the hole is attached to the big square (first outer), not the far one
+    assert len(geom["coordinates"][0]) == 2
+    assert len(geom["coordinates"][1]) == 1
+    assert geom["coordinates"][0][1][0] == (1.0, 1.0)
+
+
+def test_inner_ring_outside_all_outers_is_an_error():
+    ways = {
+        600: {"id": 600, "nodes": [10, 11, 12, 10]},
+        601: {"id": 601, "nodes": [20, 21, 22, 20]},
+        602: {"id": 602, "nodes": [30, 31, 32, 30]},
+    }
+    nodes = {
+        10: {"lon": 0.0, "lat": 0.0}, 11: {"lon": 1.0, "lat": 0.0},
+        12: {"lon": 0.0, "lat": 1.0},
+        20: {"lon": 5.0, "lat": 5.0}, 21: {"lon": 6.0, "lat": 5.0},
+        22: {"lon": 5.0, "lat": 6.0},
+        30: {"lon": 50.0, "lat": 50.0}, 31: {"lon": 51.0, "lat": 50.0},
+        32: {"lon": 50.0, "lat": 51.0},
+    }
+    members = [
+        {"type": "way", "ref": 600, "role": "outer"},
+        {"type": "way", "ref": 601, "role": "outer"},
+        {"type": "way", "ref": 602, "role": "inner"},
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="inner ring not inside"):
+        assemble_polygon(members, ways, nodes)
+
+
 def test_spark_assembly(spark):
     relations = spark.createDataFrame(
         [(42, [(m["type"], m["ref"], m["role"]) for m in MEMBERS])],
