@@ -378,6 +378,25 @@ def main() -> None:
 
     timed("minhash_near_dups", minhash_fast)
 
+    def minhash_500k():
+        # dedup at corpus scale: 100× the sf0.1 table, generated
+        # executor-side with planted near-dups (floor((n-1)/10) pairs);
+        # the count is exact-recall evidence, not just a wall-clock
+        from building2osm_spark.operators import dedupe as DDop
+        from building2osm_spark.sources.fixtures import distributed_documents
+
+        path = "/tmp/bench_docs_500k.parquet"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            distributed_documents(spark, 500_000).write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+        sigs = DDop.minhash_signatures(docs, base_hash="xxhash64")
+        n = DDop.minhash_lsh_pairs(sigs, bands=16, threshold=0.5).count()
+        extras["minhash_500k_pairs"] = n
+        return n
+
+    minhash_500k()  # warm-up + fixture materialization
+    timed("minhash_500k", minhash_500k)
+
     def simhash_pairs_bench():
         from building2osm_spark.operators import dedupe as DDop
 

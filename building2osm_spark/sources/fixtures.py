@@ -696,6 +696,56 @@ def city_conflation_rows_for_ids(ids, n: int, urban_frac: float = 0.2):
     return osm_pdf, import_pdf
 
 
+def documents_rows_for_ids(
+    ids, dup_every: int = 10, words_per_doc: int = 120, vocab: int = 5000
+) -> pd.DataFrame:
+    """Synthetic corpus rows as a pure function of id (splitmix64 word
+    draws — batching/partition independent). Every `dup_every`-th doc is a
+    near-duplicate of its predecessor: same word sequence with 3 words
+    replaced, i.e. a planted pair (id-1, id) at 3-shingle Jaccard ≈ 0.86
+    and everything else pairwise-independent (Jaccard ≈ 0). Ground truth
+    for near-dup recall is therefore exact: the planted pairs and nothing
+    else clear any threshold ≥ 0.5."""
+    ids = np.asarray(ids, dtype=np.int64)
+    is_dup = (ids % dup_every == 0) & (ids > 0)
+    base = np.where(is_dup, ids - 1, ids)
+    # words[i, j] = mix64(base_i * K + j) % vocab — row-major per doc
+    j = np.arange(words_per_doc, dtype=np.uint64)
+    w = (
+        _mix64(base.astype(np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15) + j[None, :])
+        % np.uint64(vocab)
+    ).astype(np.int64)
+    # dup docs: replace 3 words at id-derived positions with id-derived words
+    for slot in range(3):
+        pos = (
+            _mix64(ids.astype(np.uint64) + np.uint64(slot * 7 + 1))
+            % np.uint64(words_per_doc)
+        ).astype(np.int64)
+        repl = (
+            _mix64(ids.astype(np.uint64) + np.uint64(slot * 13 + 101))
+            % np.uint64(vocab)
+        ).astype(np.int64)
+        rows = np.where(is_dup)[0]
+        w[rows, pos[rows]] = repl[rows]
+    texts = [" ".join(f"w{int(x):04d}" for x in row) for row in w]
+    return pd.DataFrame(
+        {"doc_id": [f"doc_{int(i):010d}" for i in ids], "text": texts}
+    )
+
+
+def distributed_documents(spark, n: int, dup_every: int = 10):
+    """Documents table generated IN EXECUTORS (mapInPandas over
+    spark.range(n)) with planted near-duplicates — scales to any n; the
+    driver never materializes a row. Planted pair count =
+    floor((n-1)/dup_every)."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield documents_rows_for_ids(pdf["id"].values, dup_every=dup_every)
+
+    return spark.range(n).mapInPandas(gen, schema="doc_id string, text string")
+
+
 def distributed_city_conflation(spark, n: int, urban_frac: float = 0.2):
     """(osm_df, import_df) generated IN EXECUTORS (mapInPandas over
     spark.range(n)) — scales to any n; the driver never materializes a

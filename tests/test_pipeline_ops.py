@@ -169,3 +169,33 @@ def test_ivf_4096_centroids_broadcast_kernel(spark):
     got_pairs = {(r.q_id, r.c_id) for r in got.collect()}
     recall = len(want_pairs & got_pairs) / len(want_pairs)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_distributed_documents_planted_recall(spark):
+    """Executor-side corpus generator: deterministic under partitioning,
+    and MinHash+LSH recovers exactly the planted near-dup pairs at 20k
+    docs (everything non-planted is pairwise-independent, Jaccard ~ 0)."""
+    from building2osm_spark.sources.fixtures import (
+        distributed_documents,
+        documents_rows_for_ids,
+    )
+
+    n = 20_000
+    docs_d = distributed_documents(spark, n)
+    # partitioning independence
+    alt = (
+        spark.range(n).repartition(13)
+        .mapInPandas(
+            lambda it: (documents_rows_for_ids(p["id"].values) for p in it),
+            schema="doc_id string, text string",
+        )
+    )
+    assert docs_d.exceptAll(alt).count() == 0
+    sigs = D.minhash_signatures(docs_d, base_hash="xxhash64")
+    pairs = D.minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {
+        (f"doc_{i-1:010d}", f"doc_{i:010d}")
+        for i in range(10, n, 10)
+    }
+    assert got == planted
