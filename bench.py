@@ -272,6 +272,11 @@ def main() -> None:
     extras: dict[str, int] = {}
 
     def timed(name, fn):
+        # one discarded warm-up per entry (BASELINE.md protocol): the
+        # first run of a plan pays Catalyst analysis + whole-stage codegen
+        # compilation and any fixture materialization — per-plan constants,
+        # not per-data costs
+        fn()
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
@@ -316,7 +321,6 @@ def main() -> None:
             spark.read.parquet(osm_p), spark.read.parquet(imp_p)
         ).count()
 
-    conflate_8k()  # warm-up + fixture materialization
     timed("conflate_8k", conflate_8k)
 
     def conflate_city_100k():
@@ -343,7 +347,6 @@ def main() -> None:
         extras["conflate_city_100k_matches"] = n
         return n
 
-    conflate_city_100k()  # warm-up + fixture materialization
     timed("conflate_city_100k", conflate_city_100k)
 
     def conflate_city_1m():
@@ -365,7 +368,6 @@ def main() -> None:
         extras["conflate_city_1m_matches"] = n
         return n
 
-    conflate_city_1m()  # warm-up + fixture materialization
     timed("conflate_city_1m", conflate_city_1m)
     def minhash_fast():
         # engine fast path: xxhash64 base hash (the md5 default exists for
@@ -394,7 +396,6 @@ def main() -> None:
         extras["minhash_500k_pairs"] = n
         return n
 
-    minhash_500k()  # warm-up + fixture materialization
     timed("minhash_500k", minhash_500k)
 
     def simhash_pairs_bench():
@@ -428,7 +429,6 @@ def main() -> None:
             ).repartition(32).write.mode("overwrite").parquet(path)
         return rectify_and_simplify(spark.read.parquet(path)).count()
 
-    rectify_100k()  # warm-up + fixture materialization
     timed("rectify_100k", rectify_100k)
     timed("image_decode_5k", lambda: __import__(
         "building2osm_spark.functions.images", fromlist=["decode_features"]
