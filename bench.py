@@ -398,6 +398,50 @@ def main() -> None:
 
     timed("minhash_500k", minhash_500k)
 
+    def ivf_500k():
+        # ANN at corpus scale: probe a PREBUILT IVF index (500k clustered
+        # embeddings, 256 lists, nprobe=8) — the index pass is the one-time
+        # build (extras carry its cost + measured recall@10 vs brute force)
+        import numpy as np
+
+        from building2osm_spark.operators import similarity as Sim
+        from building2osm_spark.sources.fixtures import distributed_embeddings
+
+        emb_p = "/tmp/bench_emb_500k.parquet"
+        idx_p = "/tmp/bench_emb_500k_ivf.parquet"
+        cent_p = "/tmp/bench_emb_500k_centroids.npy"
+        if not os.path.exists(os.path.join(emb_p, "_SUCCESS")):
+            distributed_embeddings(spark, 500_000).write.mode("overwrite").parquet(emb_p)
+        corpus = spark.read.parquet(emb_p).select(
+            F.col("emb_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        )
+        if not os.path.exists(os.path.join(idx_p, "_SUCCESS")):
+            t0 = time.time()
+            cent = Sim.train_ivf_centroids(
+                corpus.select(F.col("c_vec").alias("embedding")), n_centroids=256
+            )
+            np.save(cent_p, cent)
+            Sim.ivf_index(corpus, cent).write.mode("overwrite").parquet(idx_p)
+            extras["ivf_500k_build_sec"] = round(time.time() - t0, 3)
+        cent = np.load(cent_p)
+        indexed = spark.read.parquet(idx_p)
+        queries = corpus.filter(F.col("c_id") < 50).select(
+            F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec")
+        )
+        got = Sim.cosine_topk_ivf(
+            queries, corpus, k=10, centroids=cent, nprobe=8, indexed=indexed
+        )
+        n = got.count()
+        if "ivf_500k_recall" not in extras:
+            brute = Sim.cosine_topk_bruteforce(queries, corpus, k=10)
+            inter = got.select("q_id", "c_id").intersect(
+                brute.select("q_id", "c_id")
+            ).count()
+            extras["ivf_500k_recall"] = round(inter / max(brute.count(), 1), 4)
+        return n
+
+    timed("ivf_500k", ivf_500k)
+
     def simhash_pairs_bench():
         from building2osm_spark.operators import dedupe as DDop
 

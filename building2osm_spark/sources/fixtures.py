@@ -746,6 +746,45 @@ def distributed_documents(spark, n: int, dup_every: int = 10):
     return spark.range(n).mapInPandas(gen, schema="doc_id string, text string")
 
 
+def embeddings_rows_for_ids(
+    ids, dim: int = 64, n_clusters: int = 256, noise: float = 0.2
+) -> pd.DataFrame:
+    """Clustered embedding rows as a pure function of id: vec(id) =
+    center(cluster(id)) + small noise, both splitmix64-derived — the
+    realistic ANN corpus shape (IVF recall depends on cluster structure).
+    Deterministic under any partitioning."""
+    ids = np.asarray(ids, dtype=np.int64)
+    j = np.arange(dim, dtype=np.uint64)
+    cid = (_mix64(ids.astype(np.uint64) + np.uint64(7)) % np.uint64(n_clusters)).astype(
+        np.uint64
+    )
+    centers = (
+        _mix64(cid[:, None] * np.uint64(0xD1B54A32D192ED03) + j[None, :])
+        >> np.uint64(11)
+    ).astype(np.float64) / float(1 << 53) - 0.5
+    nz = (
+        _mix64(ids.astype(np.uint64)[:, None] * np.uint64(0xA24BAED4963EE407) + j[None, :])
+        >> np.uint64(11)
+    ).astype(np.float64) / float(1 << 53) - 0.5
+    vecs = (centers + noise * nz).astype(np.float32)
+    return pd.DataFrame(
+        {"emb_id": ids.astype(np.int64), "embedding": [v.tolist() for v in vecs]}
+    )
+
+
+def distributed_embeddings(spark, n: int, dim: int = 64, n_clusters: int = 256):
+    """Embeddings table generated IN EXECUTORS (mapInPandas over
+    spark.range(n)) — scales to any n; the driver never sees a row."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield embeddings_rows_for_ids(pdf["id"].values, dim, n_clusters)
+
+    return spark.range(n).mapInPandas(
+        gen, schema="emb_id long, embedding array<float>"
+    )
+
+
 def distributed_city_conflation(spark, n: int, urban_frac: float = 0.2):
     """(osm_df, import_df) generated IN EXECUTORS (mapInPandas over
     spark.range(n)) — scales to any n; the driver never materializes a

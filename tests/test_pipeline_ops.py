@@ -199,3 +199,27 @@ def test_distributed_documents_planted_recall(spark):
         for i in range(10, n, 10)
     }
     assert got == planted
+
+
+def test_ivf_prebuilt_index_matches_inline(spark):
+    """ivf_index() + indexed probing returns exactly the inline-index
+    results (same centroids), at UDF-kernel centroid counts (>64)."""
+    from building2osm_spark.sources.fixtures import distributed_embeddings
+
+    corpus = distributed_embeddings(spark, 4000, n_clusters=32).select(
+        F.col("emb_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    ).localCheckpoint(eager=True)
+    queries = corpus.filter(F.col("c_id") < 10).select(
+        F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec")
+    )
+    cent = S.train_ivf_centroids(
+        corpus.select(F.col("c_vec").alias("embedding")), n_centroids=128
+    )
+    idx = S.ivf_index(corpus, cent)
+    a = S.cosine_topk_ivf(
+        queries, corpus, k=5, centroids=cent, nprobe=8, indexed=idx
+    ).select("q_id", "c_id", "rank")
+    b = S.cosine_topk_ivf(
+        queries, corpus, k=5, centroids=cent, nprobe=8
+    ).select("q_id", "c_id", "rank")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
