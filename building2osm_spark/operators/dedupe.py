@@ -278,6 +278,10 @@ def simhash_near_pairs(
     """Pairs within hamming distance via chunk pigeonholing: two hashes
     within distance d agree on ≥1 of (d+1) 16-bit chunks → equi-join per
     chunk, verify exact popcount."""
+    # both sides of the chunk join read `sims`; since the map-only simhash
+    # is a Project (no exchange for Spark to reuse, and its 64-fold pack
+    # pays real codegen), materialize the 2-column input once
+    sims = sims.localCheckpoint(eager=True)
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
     pieces = F.array(
