@@ -78,3 +78,22 @@ def test_rectify_relocated_and_reason_surface(spark):
             assert r["tags"]["VERIFY_RECTIFY"] == "%.1f" % r["relocated"]
     for r in aborted:
         assert r["tags"]["DEBUG_NORECTIFY"] == r["reason"]
+
+
+def test_fused_fallback_label_propagation_equals_driver_path(spark, monkeypatch):
+    """Force the distributed component fallback (as if >_CC_DRIVER_MAX
+    shared vertices) and assert it returns exactly the driver-union-find
+    path's rows."""
+    from building2osm_spark.operators import geometry_passes as GPS
+
+    geometries = FX.building_geometries(140)
+    df = spark.createDataFrame(
+        [(r, g) for r, g in geometries],
+        schema=f"ref string, geometry {FX.GEOMETRY_POLYGON_T}",
+    )
+    fast = rectify_and_simplify(df)
+    monkeypatch.setattr(GPS, "_CC_DRIVER_MAX", 0)
+    slow = GPS.rectify_and_simplify(df)
+    a = {(r["ref"], str(r["geometry"]), r["rectified"], r["n_removed"]) for r in fast.collect()}
+    b = {(r["ref"], str(r["geometry"]), r["rectified"], r["n_removed"]) for r in slow.collect()}
+    assert a == b
