@@ -442,6 +442,29 @@ def main() -> None:
 
     timed("ivf_500k", ivf_500k)
 
+    def overlay_4m():
+        # third north-star pillar at scale: raster-tile <-> vector-footprint
+        # overlay, 4M image locations x 20k footprints, exact PIP refine on
+        # boundary tiles only
+        from building2osm_spark.operators.overlay import raster_vector_overlay
+        from building2osm_spark.sources.fixtures import (
+            GEOMETRY_POLYGON_T,
+            building_geometries,
+        )
+
+        polys = spark.createDataFrame(
+            building_geometries(20_000),
+            schema=f"ref string, geometry {GEOMETRY_POLYGON_T}",
+        )
+        pts = points_table(spark, 4_000_000).select(
+            F.col("point_id").alias("image_id"), "lon", "lat"
+        )
+        n = raster_vector_overlay(pts, polys, res=18).count()
+        extras["overlay_4m_hits"] = n
+        return n
+
+    timed("overlay_4m_x_20k", overlay_4m)
+
     def simhash_pairs_bench():
         from building2osm_spark.operators import dedupe as DDop
 
