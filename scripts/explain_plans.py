@@ -117,6 +117,34 @@ def main() -> None:
         "fallback.",
     )
 
+    def _overlay_df():
+        from building2osm_spark.operators.overlay import raster_vector_overlay
+        from building2osm_spark.sources.fixtures import (
+            GEOMETRY_POLYGON_T,
+            building_geometries,
+            images_pdf,
+        )
+
+        polys = spark.createDataFrame(
+            building_geometries(200),
+            schema=f"ref string, geometry {GEOMETRY_POLYGON_T}",
+        )
+        imgs = spark.createDataFrame(
+            images_pdf(500, with_loc=True)[["image_id", "lon", "lat"]]
+        )
+        return raster_vector_overlay(imgs, polys, res=18)
+
+    add(
+        "Raster-vector overlay (exact)",
+        _overlay_df(),
+        "Image side: one native tile-id projection (no Python, no\n"
+        "shuffle until the tile equi-join). Footprint side: Arrow kernel\n"
+        "computes (tile, full) cover rows executor-side. Boundary-tile\n"
+        "candidates refine through the native ray cast; interior tiles\n"
+        "(full=true) short-circuit. The image table — the 10^12-row side —\n"
+        "never carries geometry.",
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan evidence for the headline operators\n\n"
