@@ -97,3 +97,17 @@ def test_fused_fallback_label_propagation_equals_driver_path(spark, monkeypatch)
     a = {(r["ref"], str(r["geometry"]), r["rectified"], r["n_removed"]) for r in fast.collect()}
     b = {(r["ref"], str(r["geometry"]), r["rectified"], r["n_removed"]) for r in slow.collect()}
     assert a == b
+
+
+def test_fused_plan_single_exchange_on_grouped_branch(spark):
+    """Scale contract: the fused pass has NO shuffle on the singleton
+    branch (broadcast anti-join only) and exactly one hash-partitioning
+    Exchange (repartition by component) on the grouped branch."""
+    geometries = FX.building_geometries(140)
+    df = spark.createDataFrame(
+        [(r, g) for r, g in geometries],
+        schema=f"ref string, geometry {FX.GEOMETRY_POLYGON_T}",
+    )
+    plan = rectify_and_simplify(df)._jdf.queryExecution().executedPlan().toString()
+    shuffles = plan.replace("BroadcastExchange", "").count("Exchange")
+    assert shuffles == 1, plan

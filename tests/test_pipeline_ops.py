@@ -223,3 +223,21 @@ def test_ivf_prebuilt_index_matches_inline(spark):
         queries, corpus, k=5, centroids=cent, nprobe=8
     ).select("q_id", "c_id", "rank")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_minhash_signature_plan_is_map_only(spark, docs):
+    """Scale contract: the signature computation is one Project over the
+    scan — no Exchange, no aggregate, no Python eval node."""
+    sigs = D.minhash_signatures(docs.select("doc_id", "text"), base_hash="xxhash64")
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+    assert "Python" not in plan  # no Arrow/UDF eval in the hot path
+
+
+def test_simhash_plan_is_map_only(spark, docs):
+    sims = D.simhash(docs.select("doc_id", "text"), base_hash="xxhash64")
+    plan = sims._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+    assert "Python" not in plan
