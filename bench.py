@@ -171,8 +171,13 @@ def _fresh_run(job: str, cores: int, n: int) -> float:
          "--cores", str(cores), "--n", str(n)],
         capture_output=True, text=True, timeout=1800,
     )
-    line = proc.stdout.strip().splitlines()[-1]
-    return json.loads(line)["seconds"]
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)["seconds"]
+    raise RuntimeError(
+        f"single-job {job} local[{cores}] produced no JSON "
+        f"(rc={proc.returncode}):\n{proc.stdout[-1000:]}\n{proc.stderr[-1000:]}"
+    )
 
 
 def _scaling_for(job: str, n: int, levels=(8, 32), sessions: int = 3) -> dict:
@@ -208,7 +213,10 @@ def _spin(n: int) -> int:
 def _membw(nbytes: int) -> float:
     import numpy as np
 
-    a = np.zeros(nbytes // 8, dtype=np.float64)
+    # np.zeros calloc-maps the kernel zero page — reading it never touches
+    # DRAM. WRITE the buffer first so the sums stream real memory.
+    a = np.empty(nbytes // 8, dtype=np.float64)
+    a[:] = 1.0
     s = 0.0
     for _ in range(4):
         s += float(a.sum())

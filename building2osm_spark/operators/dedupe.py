@@ -113,6 +113,10 @@ def minhash_signatures(
     identity is collision-equivalent, values differ from the md5 form.
     """
     a, b = _hash_params(n_hashes, seed)
+    # NULL text is no document: drop it up front (the md5 shingle builder
+    # would otherwise hash NULL as '' via concat_ws's null-skipping and
+    # pair every NULL doc with every empty doc)
+    df = df.filter(F.col(text_col).isNotNull())
     if base_hash == "xxhash64":
         hs = F.expr(
             f"transform(split(lower({text_col}), '\\\\s+'),"
@@ -145,7 +149,11 @@ def minhash_signatures(
         f"array_min(transform(__bases, x -> (x * {a[i]}L + {b[i]}L) % {_MERSENNE}))"
         for i in range(n_hashes)
     )
-    return with_bases.select(id_col, F.expr(f"array({mins})").alias("sig"))
+    # NULL text folds to NULL slots — drop those docs, matching the
+    # explode form this replaced (explode(NULL) emits nothing)
+    return with_bases.select(id_col, F.expr(f"array({mins})").alias("sig")).filter(
+        F.col("sig")[0].isNotNull()
+    )
 
 
 def minhash_lsh_pairs(
@@ -167,10 +175,14 @@ def minhash_lsh_pairs(
     equality ≡ '_'-joined string equality for integer slots) — joining on
     the 4-long array beats building millions of bucket strings ~2.3×."""
     # the signature lineage feeds five consumers below (sig_len probe,
-    # both sides of the band join, both payload re-joins) — materialize it
-    # once into ContextCleaner-managed blocks or the upstream signature
-    # computation re-runs per consumer
-    signatures = signatures.localCheckpoint(eager=True)
+    # both sides of the band join, both payload re-joins) — truncate the
+    # lineage so the upstream signature computation runs once, not per
+    # consumer. eager=False: materialization happens at the first action,
+    # so merely CONSTRUCTING this DataFrame never launches a job. (Trade:
+    # localCheckpoint blocks are executor-local — an executor loss after
+    # materialization fails the job instead of recomputing; acceptable for
+    # bounded batch queries, revisit for long-lived dynamic allocation.)
+    signatures = signatures.localCheckpoint(eager=False)
     sig_len = signatures.selectExpr("size(sig) AS n").first()["n"]
     rows_per_band = sig_len // bands
     banded = signatures.select(
@@ -256,6 +268,7 @@ def simhash(
     computation is reproducible in DuckDB SQL — see driver ORACLE_SIMHASH."""
     a, b = _hash_params(64, seed)
     half = _MERSENNE // 2
+    df = df.filter(F.col(text_col).isNotNull())  # NULL text is no document
     hw = df.select(
         F.col(id_col),
         F.transform(
@@ -269,7 +282,14 @@ def simhash(
         f"THEN 1 ELSE -1 END)) > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
         for i in range(64)
     )
-    return hw.selectExpr(id_col, f"({pack}) AS simhash")
+    # NULL text → NULL __hw → every fold NULL; emit NULL (not 0 — packing
+    # 0 would pair all NULL-text docs as hamming-0 near-dups) and drop the
+    # row, matching the explode form this replaced (explode(NULL) emits
+    # nothing)
+    return hw.selectExpr(
+        id_col,
+        f"CASE WHEN __hw IS NULL THEN CAST(NULL AS LONG) ELSE ({pack}) END AS simhash",
+    ).filter(F.col("simhash").isNotNull())
 
 
 def simhash_near_pairs(
@@ -280,8 +300,9 @@ def simhash_near_pairs(
     chunk, verify exact popcount."""
     # both sides of the chunk join read `sims`; since the map-only simhash
     # is a Project (no exchange for Spark to reuse, and its 64-fold pack
-    # pays real codegen), materialize the 2-column input once
-    sims = sims.localCheckpoint(eager=True)
+    # pays real codegen), truncate the lineage so it computes once
+    # (eager=False: no job at construction time; see minhash_lsh_pairs)
+    sims = sims.localCheckpoint(eager=False)
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
     pieces = F.array(

@@ -596,7 +596,7 @@ def _unif(ids: np.ndarray, stream: int) -> np.ndarray:
     return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def city_conflation_rows_for_ids(ids, n: int, urban_frac: float = 0.2):
+def city_conflation_rows_for_ids(ids, n: int, urban_frac: float = 0.2, side=None):
     """The per-id row body of city_conflation_pdfs, as a pure function of
     id (hash-derived uniforms instead of a sequential rng) so generation
     can run IN EXECUTORS over spark.range(n) at any scale. Same skew shape
@@ -604,7 +604,10 @@ def city_conflation_rows_for_ids(ids, n: int, urban_frac: float = 0.2):
     (different random stream) but the conflation ground truth — matches =
     rows with both sides present — is identical by construction.
 
-    Returns (osm_pdf, import_pdf) for exactly these ids."""
+    Returns (osm_pdf, import_pdf) for exactly these ids; pass side='osm'
+    or side='import' to build (and pay for) only that frame — the two
+    mapInPandas generators would otherwise each compute and discard half
+    the work."""
     ids = np.asarray(ids, dtype=np.int64)
     minlon, minlat, maxlon, maxlat = BBOX
     n_urban = int(n * urban_frac)
@@ -659,6 +662,24 @@ def city_conflation_rows_for_ids(ids, n: int, urban_frac: float = 0.2):
     kind = _unif(ids, 4)
     has_import = kind < 0.85
     has_osm = (kind < 0.70) | (kind >= 0.85)
+
+    osm_pdf = None
+    if side in (None, "osm"):
+        osm_pdf = pd.DataFrame(
+            {
+                "osm_id": -(1000 + ids[has_osm]),
+                "ring": [r.tolist() for r in rings[has_osm]],
+                "c_lon": cx[has_osm],
+                "c_lat": cy[has_osm],
+                "area": area[has_osm],
+                "tagged": False,
+                "ref_tag": None,
+                "tags": [{"building": "yes"}] * int(has_osm.sum()),
+            }
+        )
+        if side == "osm":
+            return osm_pdf
+
     off_e = _unif(ids, 5) * 6
     off_n = _unif(ids, 6) * 5
     imp_rings = np.round(
@@ -667,19 +688,6 @@ def city_conflation_rows_for_ids(ids, n: int, urban_frac: float = 0.2):
             [off_e / (111320.0 * np.cos(np.radians(cy))), off_n / 111320.0], axis=1
         )[:, None, :],
         7,
-    )
-
-    osm_pdf = pd.DataFrame(
-        {
-            "osm_id": -(1000 + ids[has_osm]),
-            "ring": [r.tolist() for r in rings[has_osm]],
-            "c_lon": cx[has_osm],
-            "c_lat": cy[has_osm],
-            "area": area[has_osm],
-            "tagged": False,
-            "ref_tag": None,
-            "tags": [{"building": "yes"}] * int(has_osm.sum()),
-        }
     )
     icx = imp_rings[:, :-1, 0].mean(axis=1)
     icy = imp_rings[:, :-1, 1].mean(axis=1)
@@ -693,6 +701,8 @@ def city_conflation_rows_for_ids(ids, n: int, urban_frac: float = 0.2):
             "building": "house",
         }
     )
+    if side == "import":
+        return import_pdf
     return osm_pdf, import_pdf
 
 
@@ -794,13 +804,17 @@ def distributed_city_conflation(spark, n: int, urban_frac: float = 0.2):
 
     def gen_osm(batches):
         for pdf in batches:
-            osm, _ = city_conflation_rows_for_ids(pdf["id"].values, n, urban_frac)
+            osm = city_conflation_rows_for_ids(
+                pdf["id"].values, n, urban_frac, side="osm"
+            )
             if len(osm):
                 yield osm
 
     def gen_imp(batches):
         for pdf in batches:
-            _, imp = city_conflation_rows_for_ids(pdf["id"].values, n, urban_frac)
+            imp = city_conflation_rows_for_ids(
+                pdf["id"].values, n, urban_frac, side="import"
+            )
             if len(imp):
                 yield imp
 

@@ -28,8 +28,12 @@ from pyspark.sql import functions as F
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=16_000_000)
-    ap.add_argument("--points", default="/tmp/bench_points_16000000.parquet")
+    ap.add_argument("--points", default=None)
     args = ap.parse_args()
+    if args.points is None:
+        # keyed by n, matching bench.points_table — a fixed default would
+        # reuse (or poison) a wrong-sized cached table under a custom --n
+        args.points = f"/tmp/bench_points_{args.n}.parquet"
 
     # master/deploy conf comes from spark-submit; only session-level SQL
     # conf is set here (mirrors building2osm_spark.session defaults)

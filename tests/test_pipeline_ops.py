@@ -241,3 +241,18 @@ def test_simhash_plan_is_map_only(spark, docs):
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan
     assert "Python" not in plan
+
+
+def test_null_text_documents_are_dropped_not_zero_hashed(spark):
+    """NULL-text docs must vanish from both hash families (the explode
+    forms dropped them; packing 0 would pair all NULL docs as dups)."""
+    df = spark.createDataFrame(
+        [("a", "hello world foo"), ("b", None), ("c", None)],
+        schema="doc_id string, text string",
+    )
+    sims = D.simhash(df, base_hash="xxhash64")
+    assert sims.count() == 1 and sims.first()["doc_id"] == "a"
+    sigs = D.minhash_signatures(df, base_hash="xxhash64")
+    assert sigs.count() == 1 and sigs.first()["doc_id"] == "a"
+    sigs_md5 = D.minhash_signatures(df)
+    assert sigs_md5.count() == 1
