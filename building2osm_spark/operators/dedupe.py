@@ -175,14 +175,16 @@ def minhash_lsh_pairs(
     equality ≡ '_'-joined string equality for integer slots) — joining on
     the 4-long array beats building millions of bucket strings ~2.3×."""
     # the signature lineage feeds five consumers below (sig_len probe,
-    # both sides of the band join, both payload re-joins) — truncate the
-    # lineage so the upstream signature computation runs once, not per
-    # consumer. eager=False: materialization happens at the first action,
-    # so merely CONSTRUCTING this DataFrame never launches a job. (Trade:
-    # localCheckpoint blocks are executor-local — an executor loss after
-    # materialization fails the job instead of recomputing; acceptable for
-    # bounded batch queries, revisit for long-lived dynamic allocation.)
-    signatures = signatures.localCheckpoint(eager=False)
+    # both sides of the band join, both payload re-joins) — materialize it
+    # once, EAGERLY. eager=False is a trap here: the sig_len first() would
+    # materialize a single partition and the five same-DAG consumers then
+    # recompute every unmaterialized partition each (measured 138 s vs
+    # 35 s at 500k docs). Cost of eager: constructing this DataFrame runs
+    # the signature job immediately. (localCheckpoint blocks are
+    # executor-local — an executor loss after materialization fails the
+    # job instead of recomputing; acceptable for bounded batch queries,
+    # revisit for long-lived dynamic-allocation services.)
+    signatures = signatures.localCheckpoint(eager=True)
     sig_len = signatures.selectExpr("size(sig) AS n").first()["n"]
     rows_per_band = sig_len // bands
     banded = signatures.select(
@@ -300,9 +302,10 @@ def simhash_near_pairs(
     chunk, verify exact popcount."""
     # both sides of the chunk join read `sims`; since the map-only simhash
     # is a Project (no exchange for Spark to reuse, and its 64-fold pack
-    # pays real codegen), truncate the lineage so it computes once
-    # (eager=False: no job at construction time; see minhash_lsh_pairs)
-    sims = sims.localCheckpoint(eager=False)
+    # pays real codegen), materialize it once, eagerly (eager=False
+    # partially materializes and the same-DAG consumers recompute the
+    # rest — see minhash_lsh_pairs)
+    sims = sims.localCheckpoint(eager=True)
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
     pieces = F.array(
