@@ -473,6 +473,53 @@ def main() -> None:
 
     timed("overlay_4m_x_20k", overlay_4m)
 
+    def phash_dedup_500k():
+        # image near-dup detection at corpus scale: 500k images (textured
+        # corpus, phash ~uniform) with 50k planted lossy re-encodes; the
+        # hamming join reads ONLY (image_id, phash) — parquet column
+        # pruning never touches the binary payload. The count is exact
+        # planted recall evidence: the textured corpus has no chance
+        # pairs at this threshold (measured), so found == planted.
+        from building2osm_spark.operators import dedupe as DDop
+        from building2osm_spark.sources.fixtures import distributed_image_near_dups
+
+        path = "/tmp/bench_imgs_nd_500k.parquet"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            distributed_image_near_dups(spark, 500_000, dup_every=10).write.mode(
+                "overwrite").parquet(path)
+        sims = spark.read.parquet(path).select(
+            F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash")
+        )
+        n = DDop.simhash_near_pairs(sims, max_hamming=3).count()
+        extras["phash_dedup_500k_pairs"] = n
+        extras["phash_dedup_500k_planted"] = 50_000
+        return n
+
+    timed("phash_dedup_500k", phash_dedup_500k)
+
+    def phash_dense_100k():
+        # the DENSE-corpus case: real perceptual hashes have correlated
+        # bits (smooth images), so single-level 16-bit chunks put a large
+        # corpus fraction into hot buckets (measured: 292M candidates at
+        # 100k for 2.3M true pairs). nested=True (two-level pigeonhole,
+        # ~28-bit agreement) cuts candidates 2.7x with provably identical
+        # recall; the popcount verify runs before the pair distinct so
+        # the shuffle carries true pairs only.
+        from building2osm_spark.operators import dedupe as DDop
+        from building2osm_spark.sources.fixtures import distributed_images
+
+        path = "/tmp/bench_imgs_dense_100k.parquet"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            distributed_images(spark, 100_000).write.mode("overwrite").parquet(path)
+        sims = spark.read.parquet(path).select(
+            F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash")
+        )
+        n = DDop.simhash_near_pairs(sims, max_hamming=3, nested=True).count()
+        extras["phash_dense_100k_pairs"] = n
+        return n
+
+    timed("phash_dense_100k", phash_dense_100k)
+
     def simhash_pairs_bench():
         from building2osm_spark.operators import dedupe as DDop
 

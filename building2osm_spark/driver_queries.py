@@ -1539,7 +1539,10 @@ def q_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark_images(spark, 500)
     sims = df.select(F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash"))
-    return DD.simhash_near_pairs(sims, max_hamming=8, id_col="doc_id")
+    # nested=True exercises the two-level pigeonhole (the low-entropy
+    # phash-corpus index) against the same golden pair set — recall is
+    # provably identical to the single-level form
+    return DD.simhash_near_pairs(sims, max_hamming=8, id_col="doc_id", nested=True)
 
 
 # ---------------------------------------------------------------------------

@@ -295,11 +295,33 @@ def simhash(
 
 
 def simhash_near_pairs(
-    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    nested: bool = False,
 ) -> DataFrame:
     """Pairs within hamming distance via chunk pigeonholing: two hashes
-    within distance d agree on ≥1 of (d+1) 16-bit chunks → equi-join per
-    chunk, verify exact popcount."""
+    within distance d agree on ≥1 of (d+1) chunks → equi-join per chunk,
+    verify exact popcount.
+
+    The popcount verify runs BEFORE the pair distinct: on dense/skewed
+    corpora the candidate stream is orders of magnitude larger than the
+    true pair set (fixture phash corpus at 20k: 11.7M candidates vs 92k
+    true pairs at d=3), and distinct is a shuffle — filtering first means
+    the shuffle carries true pairs only while the candidate stream is
+    consumed map-side by the join's popcount filter.
+
+    nested=True adds a second pigeonhole level for LOW-ENTROPY hash
+    corpora (real perceptual-hash bits are correlated — a few hot
+    64/(d+1)-bit buckets hold a large corpus fraction): the key becomes
+    (chunk i, sub-chunk j of the REMAINING bits compacted and split d+1
+    ways). Recall stays exact — within hamming d some chunk is diff-free,
+    and the remaining bits still carry ≤d diffs so some sub-chunk of THEM
+    is also diff-free — while candidates must now agree on
+    chunk_bits + sub_bits (~16+12 at d=3) instead of chunk_bits. Measured
+    on the fixture phash corpus at 20k docs: 2.7× fewer candidates at d=3,
+    7× at d=2; fan-out cost is (d+1)² explode rows/doc instead of d+1.
+    Uniform-entropy hashes (text SimHash) don't need it — default off."""
     # both sides of the chunk join read `sims`; since the map-only simhash
     # is a Project (no exchange for Spark to reuse, and its 64-fold pack
     # pays real codegen), materialize it once, eagerly (eager=False
@@ -308,35 +330,62 @@ def simhash_near_pairs(
     sims = sims.localCheckpoint(eager=True)
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
-    pieces = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("ci"),
-                F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
-                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                .alias("cv"),
+    h = F.col("simhash")
+
+    def chunk_val(ci: int) -> F.Column:
+        return F.shiftrightunsigned(h, ci * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        )
+
+    if not nested:
+        keys = ["ci", "cv"]
+        pieces = F.array(
+            *[
+                F.struct(F.lit(ci).alias("ci"), chunk_val(ci).alias("cv"))
+                for ci in range(chunks)
+            ]
+        )
+    else:
+        keys = ["ci", "cj", "cv", "sv"]
+        sub_bits = (64 - chunk_bits) // chunks
+        structs = []
+        for ci in range(chunks):
+            # delete chunk ci's bits and compact the remainder: low bits
+            # stay, bits above the chunk shift down by chunk_bits
+            lo_mask = (1 << (ci * chunk_bits)) - 1
+            rest = (h.bitwiseAND(F.lit(lo_mask))).bitwiseOR(
+                F.shiftrightunsigned(h, chunk_bits).bitwiseAND(F.lit(~lo_mask))
             )
-            for i in range(chunks)
-        ]
-    )
+            for cj in range(chunks):
+                structs.append(
+                    F.struct(
+                        F.lit(ci).alias("ci"),
+                        F.lit(cj).alias("cj"),
+                        chunk_val(ci).alias("cv"),
+                        F.shiftrightunsigned(rest, cj * sub_bits)
+                        .bitwiseAND(F.lit((1 << sub_bits) - 1))
+                        .alias("sv"),
+                    )
+                )
+        pieces = F.array(*structs)
+
     exploded = sims.select(
         F.col(id_col), "simhash", F.explode(pieces).alias("c")
-    ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    ).select(id_col, "simhash", *[F.col(f"c.{k}").alias(k) for k in keys])
     a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "ci", "cv"
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), *keys
     )
     b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "ci", "cv"
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), *keys
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        a.join(b, ["ci", "cv"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

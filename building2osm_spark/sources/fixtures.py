@@ -912,6 +912,92 @@ def images_pdf_for_ids(ids, hot_frac: float = 0.0, with_loc: bool = False) -> pd
     return pd.DataFrame(rows)
 
 
+def textured_pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB pixels with i.i.d. random per-phash-block offsets.
+
+    `_pixels_for`'s smooth gradient+noise images concentrate average_phash
+    in hamming space (measured: ~58M TRUE hamming≤3 pairs per 500k images —
+    a dense corpus where any exact hamming join's output is huge). This
+    corpus instead randomizes the 8×8 block means (offset ±48 ≫ the qraw
+    quantization error ±2), so its phash is ~uniform in {0,1}^64: chance
+    near-pairs are negligible and a planted near-dup signal is measurable.
+    """
+    # full 64-bit seed (default_rng takes arbitrary ints): a 32-bit seed
+    # has birthday collisions at corpus scale (~29 identical-pixel pairs
+    # per 500k ids — observed as 9 same-size hamming-0 extras)
+    seed = int(fnv1a64(image_id)) ^ 0xA5A5A5A5
+    rng = np.random.default_rng(seed)
+    noise = rng.integers(0, 256, size=(h, w, 3)).astype(np.float64) * 0.4
+    block = rng.uniform(-48.0, 48.0, size=(8, 8))
+    up = np.kron(block, np.ones((h // 8, w // 8)))[:, :, None]
+    return np.clip(noise + 104.0 + up, 0, 255).astype(np.uint8)
+
+
+def image_near_dup_pdf_for_ids(ids, dup_every: int = 10, with_loc: bool = False) -> pd.DataFrame:
+    """Images-table rows (input_hint shape) over the TEXTURED corpus with
+    planted near-duplicates: row i with i % dup_every == dup_every-1
+    re-encodes the PIXELS of its block head (i - dup_every + 1) through the
+    lossy qraw codec under its own image_id — bytes differ, decoded pixels
+    are 6-bit-quantized (PSNR ≈ 47 dB), and the phash lands within hamming
+    ≤2 of the head's. Every row is a pure function of its id, so the
+    generator is deterministic under any partitioning / task retry.
+    Planted pairs for n rows: (img_{b·k}, img_{b·k + k - 1}) per full
+    block, i.e. floor(n / dup_every) pairs at n % dup_every == 0."""
+    rows = []
+    sizes = (16, 32, 64)
+    fmts = ("raw", "bmp", "qraw")
+    for i in ids:
+        image_id = f"img_{i:012d}"
+        is_dup = dup_every > 1 and i % dup_every == dup_every - 1
+        src = i - (dup_every - 1) if is_dup else i
+        src_id = f"img_{src:012d}"
+        h64 = int(fnv1a64(src_id))
+        w = sizes[h64 % 3]
+        hgt = sizes[(h64 >> 8) % 3]
+        pix = textured_pixels_for(src_id, w, hgt)
+        fmt = "qraw" if is_dup else fmts[(h64 >> 16) % 3]
+        if fmt == "raw":
+            data = encode_raw(pix)
+        elif fmt == "bmp":
+            data = encode_bmp(pix)
+        else:
+            data = encode_qraw(pix)
+        decoded = decode_image(data, fmt, w, hgt)
+        caption = (
+            f"a photo of a {_CAPTION_TYPES[h64 % len(_CAPTION_TYPES)]} "
+            f"near oslo #{src % 97}"
+        )
+        row = {
+            "image_id": image_id,
+            "bytes": data,
+            "w": np.int32(w),
+            "h": np.int32(hgt),
+            "fmt": fmt,
+            "caption": caption,
+            "phash": np.int64(average_phash(decoded)),
+        }
+        if with_loc:
+            lon, lat = image_location(image_id)
+            row["lon"], row["lat"] = lon, lat
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def distributed_image_near_dups(
+    spark, n: int, dup_every: int = 10, with_loc: bool = False
+):
+    """image_near_dup_pdf_for_ids generated IN EXECUTORS (mapInPandas over
+    range(n)) — rows are a pure function of id, so any partitioning or
+    task retry yields identical data; the driver never sees a row."""
+    schema = IMAGES_LOC_SCHEMA if with_loc else IMAGES_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            yield image_near_dup_pdf_for_ids(pdf["id"].tolist(), dup_every, with_loc)
+
+    return spark.range(n).mapInPandas(gen, schema=schema)
+
+
 def spark_buildings(spark, n: int, seed: int = 42):
     return spark.createDataFrame(buildings_pdf(n, seed), schema=BUILDINGS_SCHEMA)
 

@@ -66,6 +66,66 @@ def test_simhash_identical_and_near(spark, docs):
         assert got.get((i, i + 200000)) == 0
 
 
+def test_simhash_nested_equals_single_level(spark, docs):
+    """The two-level pigeonhole (nested=True) must return exactly the
+    single-level pair set — recall is provably identical; only the
+    candidate fan-in differs."""
+    sims = D.simhash(docs)
+    single = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_pairs(sims, max_hamming=3).collect()
+    }
+    nested = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_pairs(sims, max_hamming=3, nested=True).collect()
+    }
+    assert nested == single and single
+
+
+def test_phash_near_dup_planted_recall(spark):
+    """Planted image near-dups (lossy qraw re-encode of the block head)
+    are all recovered by the nested hamming join over the phash column;
+    the textured corpus has no chance pairs at this threshold."""
+    from building2osm_spark.sources.fixtures import distributed_image_near_dups
+
+    imgs = distributed_image_near_dups(spark, 1000, dup_every=10)
+    sims = imgs.select(
+        F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    pairs = D.simhash_near_pairs(sims, max_hamming=3, nested=True).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    planted = {
+        (f"img_{b:012d}", f"img_{b + 9:012d}") for b in range(0, 1000, 10)
+    }
+    assert planted <= got, planted - got
+    # no background near-pairs on the textured corpus (phash ~uniform)
+    assert got == planted, got - planted
+
+
+def test_image_near_dup_generator_deterministic(spark):
+    """Executor-side generation is a pure function of the id: any
+    partitioning yields the same rows as the driver-side builder."""
+    from building2osm_spark.sources.fixtures import (
+        distributed_image_near_dups,
+        image_near_dup_pdf_for_ids,
+    )
+
+    got = (
+        distributed_image_near_dups(spark, 120, dup_every=10)
+        .orderBy("image_id")
+        .toPandas()
+    )
+    want = image_near_dup_pdf_for_ids(list(range(120)), dup_every=10)
+    assert got["image_id"].tolist() == want["image_id"].tolist()
+    assert got["phash"].tolist() == want["phash"].tolist()
+    assert got["fmt"].tolist() == want["fmt"].tolist()
+    assert [bytes(x) for x in got["bytes"]] == [bytes(x) for x in want["bytes"]]
+    assert got["caption"].tolist() == want["caption"].tolist()
+    # planted rows share the head's caption and pixels, not its bytes
+    assert want.loc[9, "caption"] == want.loc[0, "caption"]
+    assert want.loc[9, "fmt"] == "qraw"
+
+
 def test_cosine_topk_brute_matches_numpy(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(
