@@ -483,16 +483,17 @@ def main() -> None:
         from building2osm_spark.operators import dedupe as DDop
         from building2osm_spark.sources.fixtures import distributed_image_near_dups
 
-        path = "/tmp/bench_imgs_nd_500k.parquet"
+        n_imgs, dup_every = 500_000, 10
+        path = f"/tmp/bench_imgs_nd_{n_imgs}.parquet"
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            distributed_image_near_dups(spark, 500_000, dup_every=10).write.mode(
+            distributed_image_near_dups(spark, n_imgs, dup_every=dup_every).write.mode(
                 "overwrite").parquet(path)
         sims = spark.read.parquet(path).select(
             F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash")
         )
         n = DDop.simhash_near_pairs(sims, max_hamming=3).count()
         extras["phash_dedup_500k_pairs"] = n
-        extras["phash_dedup_500k_planted"] = 50_000
+        extras["phash_dedup_500k_planted"] = n_imgs // dup_every
         return n
 
     timed("phash_dedup_500k", phash_dedup_500k)
@@ -501,7 +502,7 @@ def main() -> None:
         # the DENSE-corpus case: real perceptual hashes have correlated
         # bits (smooth images), so single-level 16-bit chunks put a large
         # corpus fraction into hot buckets (measured: 292M candidates at
-        # 100k for 2.3M true pairs). nested=True (two-level pigeonhole,
+        # 100k for 2.57M true pairs). nested=True (two-level pigeonhole,
         # ~28-bit agreement) cuts candidates 2.7x with provably identical
         # recall; the popcount verify runs before the pair distinct so
         # the shuffle carries true pairs only.

@@ -173,7 +173,11 @@ def minhash_lsh_pairs(
     hash of it: exact banding, no collision-induced false candidates, and
     the same pair set as the oracle's string-key formulation (array
     equality ≡ '_'-joined string equality for integer slots) — joining on
-    the 4-long array beats building millions of bucket strings ~2.3×."""
+    the 4-long array beats building millions of bucket strings ~2.3×.
+
+    NOTE: constructing the returned DataFrame runs the upstream signature
+    job immediately (eager localCheckpoint below) — build it only when you
+    intend to execute it, not for plan inspection."""
     # the signature lineage feeds five consumers below (sig_len probe,
     # both sides of the band join, both payload re-joins) — materialize it
     # once, EAGERLY. eager=False is a trap here: the sig_len first() would
@@ -321,7 +325,11 @@ def simhash_near_pairs(
     chunk_bits + sub_bits (~16+12 at d=3) instead of chunk_bits. Measured
     on the fixture phash corpus at 20k docs: 2.7× fewer candidates at d=3,
     7× at d=2; fan-out cost is (d+1)² explode rows/doc instead of d+1.
-    Uniform-entropy hashes (text SimHash) don't need it — default off."""
+    Uniform-entropy hashes (text SimHash) don't need it — default off.
+
+    NOTE: constructing the returned DataFrame runs the upstream hash job
+    immediately (eager localCheckpoint below) — build it only when you
+    intend to execute it, not for plan inspection."""
     # both sides of the chunk join read `sims`; since the map-only simhash
     # is a Project (no exchange for Spark to reuse, and its 64-fold pack
     # pays real codegen), materialize it once, eagerly (eager=False

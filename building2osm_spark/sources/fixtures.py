@@ -156,23 +156,36 @@ _CAPTION_TYPES = [
 ]
 
 
-def images_pdf(n: int, hot_frac: float = 0.0, with_loc: bool = False) -> pd.DataFrame:
-    """The images table (BASELINE.json input_hint shape), n rows.
+def _image_rows_pdf(
+    ids,
+    hot_frac: float = 0.0,
+    with_loc: bool = False,
+    pixel_fn=None,
+    src_of=None,
+    fmt_of=None,
+) -> pd.DataFrame:
+    """Shared row builder for every images-table corpus (input_hint shape).
 
     fmt cycles raw/bmp/qraw; sizes from {16,32,64}; caption is a
     deterministic template over the building-type vocabulary; phash is the
-    average-hash of the DECODED pixels (so phash is re-derivable from bytes).
-    """
+    average-hash of the DECODED pixels (so phash is re-derivable from
+    bytes). Hooks: `pixel_fn(image_id, w, h)` supplies pixels (default
+    `_pixels_for`); `src_of(i)` redirects a row's CONTENT — pixels, size,
+    caption — to another id (near-dup planting; the row keeps its own
+    image_id and location); `fmt_of(i, h64)` overrides codec choice."""
     rows = []
     sizes = (16, 32, 64)
     fmts = ("raw", "bmp", "qraw")
-    for i in range(n):
+    pixel_fn = pixel_fn or _pixels_for
+    for i in ids:
         image_id = f"img_{i:012d}"
-        h64 = int(fnv1a64(image_id))
+        src = src_of(i) if src_of is not None else i
+        src_id = f"img_{src:012d}"
+        h64 = int(fnv1a64(src_id))
         w = sizes[h64 % 3]
         hgt = sizes[(h64 >> 8) % 3]
-        fmt = fmts[(h64 >> 16) % 3]
-        pix = _pixels_for(image_id, w, hgt)
+        fmt = fmt_of(i, h64) if fmt_of is not None else fmts[(h64 >> 16) % 3]
+        pix = pixel_fn(src_id, w, hgt)
         if fmt == "raw":
             data = encode_raw(pix)
         elif fmt == "bmp":
@@ -182,7 +195,7 @@ def images_pdf(n: int, hot_frac: float = 0.0, with_loc: bool = False) -> pd.Data
         decoded = decode_image(data, fmt, w, hgt)
         caption = (
             f"a photo of a {_CAPTION_TYPES[h64 % len(_CAPTION_TYPES)]} "
-            f"near oslo #{i % 97}"
+            f"near oslo #{src % 97}"
         )
         row = {
             "image_id": image_id,
@@ -198,6 +211,11 @@ def images_pdf(n: int, hot_frac: float = 0.0, with_loc: bool = False) -> pd.Data
             row["lon"], row["lat"] = lon, lat
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def images_pdf(n: int, hot_frac: float = 0.0, with_loc: bool = False) -> pd.DataFrame:
+    """The images table (BASELINE.json input_hint shape), n rows."""
+    return _image_rows_pdf(list(range(n)), hot_frac, with_loc)
 
 
 # ---------------------------------------------------------------------------
@@ -875,41 +893,7 @@ def distributed_images(spark, n: int, hot_frac: float = 0.0, with_loc: bool = Fa
 
 def images_pdf_for_ids(ids, hot_frac: float = 0.0, with_loc: bool = False) -> pd.DataFrame:
     """images_pdf for an explicit id list — the per-batch generator body."""
-    rows = []
-    sizes = (16, 32, 64)
-    fmts = ("raw", "bmp", "qraw")
-    for i in ids:
-        image_id = f"img_{i:012d}"
-        h64 = int(fnv1a64(image_id))
-        w = sizes[h64 % 3]
-        hgt = sizes[(h64 >> 8) % 3]
-        fmt = fmts[(h64 >> 16) % 3]
-        pix = _pixels_for(image_id, w, hgt)
-        if fmt == "raw":
-            data = encode_raw(pix)
-        elif fmt == "bmp":
-            data = encode_bmp(pix)
-        else:
-            data = encode_qraw(pix)
-        decoded = decode_image(data, fmt, w, hgt)
-        caption = (
-            f"a photo of a {_CAPTION_TYPES[h64 % len(_CAPTION_TYPES)]} "
-            f"near oslo #{i % 97}"
-        )
-        row = {
-            "image_id": image_id,
-            "bytes": data,
-            "w": np.int32(w),
-            "h": np.int32(hgt),
-            "fmt": fmt,
-            "caption": caption,
-            "phash": np.int64(average_phash(decoded)),
-        }
-        if with_loc:
-            lon, lat = image_location(image_id, hot_frac)
-            row["lon"], row["lat"] = lon, lat
-        rows.append(row)
-    return pd.DataFrame(rows)
+    return _image_rows_pdf(ids, hot_frac, with_loc)
 
 
 def textured_pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
@@ -937,50 +921,29 @@ def image_near_dup_pdf_for_ids(ids, dup_every: int = 10, with_loc: bool = False)
     """Images-table rows (input_hint shape) over the TEXTURED corpus with
     planted near-duplicates: row i with i % dup_every == dup_every-1
     re-encodes the PIXELS of its block head (i - dup_every + 1) through the
-    lossy qraw codec under its own image_id — bytes differ, decoded pixels
-    are 6-bit-quantized (PSNR ≈ 47 dB), and the phash lands within hamming
-    ≤2 of the head's. Every row is a pure function of its id, so the
-    generator is deterministic under any partitioning / task retry.
-    Planted pairs for n rows: (img_{b·k}, img_{b·k + k - 1}) per full
-    block, i.e. floor(n / dup_every) pairs at n % dup_every == 0."""
-    rows = []
-    sizes = (16, 32, 64)
-    fmts = ("raw", "bmp", "qraw")
-    for i in ids:
-        image_id = f"img_{i:012d}"
-        is_dup = dup_every > 1 and i % dup_every == dup_every - 1
-        src = i - (dup_every - 1) if is_dup else i
-        src_id = f"img_{src:012d}"
-        h64 = int(fnv1a64(src_id))
-        w = sizes[h64 % 3]
-        hgt = sizes[(h64 >> 8) % 3]
-        pix = textured_pixels_for(src_id, w, hgt)
-        fmt = "qraw" if is_dup else fmts[(h64 >> 16) % 3]
-        if fmt == "raw":
-            data = encode_raw(pix)
-        elif fmt == "bmp":
-            data = encode_bmp(pix)
-        else:
-            data = encode_qraw(pix)
-        decoded = decode_image(data, fmt, w, hgt)
-        caption = (
-            f"a photo of a {_CAPTION_TYPES[h64 % len(_CAPTION_TYPES)]} "
-            f"near oslo #{src % 97}"
-        )
-        row = {
-            "image_id": image_id,
-            "bytes": data,
-            "w": np.int32(w),
-            "h": np.int32(hgt),
-            "fmt": fmt,
-            "caption": caption,
-            "phash": np.int64(average_phash(decoded)),
-        }
-        if with_loc:
-            lon, lat = image_location(image_id)
-            row["lon"], row["lat"] = lon, lat
-        rows.append(row)
-    return pd.DataFrame(rows)
+    lossy qraw codec under its own image_id. Heads (i % dup_every == 0)
+    always encode losslessly (raw/bmp), so every planted pair is a genuine
+    lossy re-encode — bytes differ, decoded pixels are 6-bit-quantized
+    (PSNR ≈ 47 dB), and the phash lands within hamming ≤2 of the head's.
+    Every row is a pure function of its id, so the generator is
+    deterministic under any partitioning / task retry. Planted pairs for
+    n rows: (img_{b·k}, img_{b·k + k - 1}) per full block, i.e.
+    floor(n / dup_every) pairs at n % dup_every == 0."""
+
+    def src_of(i: int) -> int:
+        return i - (dup_every - 1) if dup_every > 1 and i % dup_every == dup_every - 1 else i
+
+    def fmt_of(i: int, h64: int) -> str:
+        if dup_every > 1 and i % dup_every == dup_every - 1:
+            return "qraw"
+        if dup_every > 1 and i % dup_every == 0:
+            return ("raw", "bmp")[(h64 >> 16) % 2]  # heads: lossless only
+        return ("raw", "bmp", "qraw")[(h64 >> 16) % 3]
+
+    return _image_rows_pdf(
+        ids, with_loc=with_loc, pixel_fn=textured_pixels_for,
+        src_of=src_of, fmt_of=fmt_of,
+    )
 
 
 def distributed_image_near_dups(

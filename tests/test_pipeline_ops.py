@@ -121,9 +121,14 @@ def test_image_near_dup_generator_deterministic(spark):
     assert got["fmt"].tolist() == want["fmt"].tolist()
     assert [bytes(x) for x in got["bytes"]] == [bytes(x) for x in want["bytes"]]
     assert got["caption"].tolist() == want["caption"].tolist()
-    # planted rows share the head's caption and pixels, not its bytes
-    assert want.loc[9, "caption"] == want.loc[0, "caption"]
-    assert want.loc[9, "fmt"] == "qraw"
+    # planted rows share the head's caption and pixels, not its bytes:
+    # heads are always lossless (raw/bmp) and dups qraw, so every planted
+    # pair is a genuine lossy re-encode, never an exact byte duplicate
+    for b in range(0, 120, 10):
+        assert want.loc[b + 9, "caption"] == want.loc[b, "caption"]
+        assert want.loc[b + 9, "fmt"] == "qraw"
+        assert want.loc[b, "fmt"] in ("raw", "bmp")
+        assert bytes(want.loc[b + 9, "bytes"]) != bytes(want.loc[b, "bytes"])
 
 
 def test_cosine_topk_brute_matches_numpy(spark):
