@@ -33,11 +33,23 @@ def write_bucketed(
     spark = df.sparkSession
     if mode == "overwrite":
         # a managed-table location can survive a crashed writer or a fresh
-        # in-memory catalog; drop both the catalog entry and the orphan dir
+        # in-memory catalog; drop both the catalog entry and the orphan dir.
+        # The managed location is <warehouse>/[<db>.db/]<table-lowercased>
+        # (identifiers are stored lowercased; the default database lives at
+        # the warehouse root) — building it from the raw name would miss
+        # the orphan for qualified or mixed-case names and saveAsTable
+        # would then fail on the non-empty location.
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        parts = [p.lower() for p in table.split(".")]
+        if len(parts) == 1:
+            rel = parts[0]
+        elif len(parts) == 2:
+            rel = parts[1] if parts[0] == "default" else f"{parts[0]}.db/{parts[1]}"
+        else:
+            raise ValueError(f"unsupported table identifier: {table!r}")
         jvm = spark.sparkContext._jvm
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table}")
+        path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{rel}")
         fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if fs.exists(path):
             fs.delete(path, True)

@@ -60,17 +60,25 @@ class SnapshotStore:
         base = os.path.join(self.root, stage, snapshot_id)
         data_dir = os.path.join(base, "data")
 
-        part_counts = [
-            (int(r["partition_id"]), int(r["n_rows"]))
-            for r in (
-                df.withColumn("__pid", F.spark_partition_id())
-                .groupBy("__pid")
-                .agg(F.count("*").alias("n_rows"))
-                .select(F.col("__pid").alias("partition_id"), "n_rows")
-                .collect()
-            )
-        ]
+        # write FIRST, then derive the manifest counts from the files
+        # actually written: counting the lineage separately would run the
+        # full computation twice and, for a nondeterministic df (rand,
+        # limit-after-shuffle, source appended between jobs), record
+        # counts for DIFFERENT data than was persisted — the manifest
+        # must describe the bytes on disk. One parquet part file == one
+        # writer task, so per-file counts are the per-partition skew
+        # evidence (the part-NNNNN index is the writer partition id).
         df.write.mode("errorifexists").parquet(data_dir)
+        written = df.sparkSession.read.parquet(data_dir)
+        part_counts = sorted(
+            (
+                int(os.path.basename(r["f"]).split("-")[1]),
+                int(r["n_rows"]),
+            )
+            for r in written.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count("*").alias("n_rows"))
+            .collect()
+        )
 
         manifest = {
             "snapshot_id": snapshot_id,
@@ -138,8 +146,22 @@ class SnapshotStore:
             return df, False
         if params is not None and m["params_hash"] != _params_hash(params):
             return df, False
-        committed = self.read(spark, stage).select(key_col).distinct()
-        return df.join(committed, key_col, "left_anti"), True
+        committed = (
+            self.read(spark, stage)
+            .select(F.col(key_col).alias("__committed_key"))
+            .distinct()
+        )
+        # null-SAFE anti-join: with plain equality NULL keys never match,
+        # so a committed NULL-key row would be recommitted (and duplicated
+        # by incremental_commit's union) on every run, forever
+        return (
+            df.join(
+                committed,
+                F.col(key_col).eqNullSafe(F.col("__committed_key")),
+                "left_anti",
+            ),
+            True,
+        )
 
     def resume_filter(
         self, spark: SparkSession, df: DataFrame, stage: str, key_col: str,
@@ -170,6 +192,11 @@ class SnapshotStore:
         recomputed row) and double-count downstream."""
         spark = df.sparkSession
         new_rows, resumed = self._resume(spark, df, stage, key_col, params=params)
+        # truncate the lineage so the count below and the commit write read
+        # ONE materialization of the anti-join (not two executions that
+        # could disagree for nondeterministic inputs); eager=False — the
+        # job runs at the count(), not at construction
+        new_rows = new_rows.localCheckpoint(eager=False)
         n_new = new_rows.count()
         prev = self.read(spark, stage) if resumed else None
         merged = new_rows if prev is None else prev.unionByName(new_rows)
@@ -182,3 +209,33 @@ class SnapshotStore:
             inputs=[prev_id] if prev_id and resumed else [],
         )
         return sid, n_new
+
+    # -- retention ----------------------------------------------------------
+
+    def expire_snapshots(self, stage: str, keep_last: int = 1) -> list[str]:
+        """Delete all but the newest `keep_last` snapshots of `stage`;
+        returns the expired ids.
+
+        incremental_commit is copy-forward: every snapshot is COMPLETE
+        (previous data rewritten + new rows), which keeps reads trivial
+        (one dir) and resume exact, at the cost of O(total) write per
+        increment and O(total × runs) storage if nothing expires. A real
+        Iceberg backend would instead reference the previous snapshot's
+        unchanged data files in the new manifest; until that backend swap,
+        a standing pipeline should call this after each commit to bound
+        storage. Older manifests may reference expired ids in `inputs` —
+        lineage beyond the retained window is intentionally forgotten."""
+        import shutil
+
+        log_path = os.path.join(self.root, stage, "log.json")
+        if not os.path.exists(log_path):
+            return []
+        with open(log_path) as f:
+            log = json.load(f)
+        keep_last = max(1, keep_last)
+        expired, kept = log[:-keep_last], log[-keep_last:]
+        for sid in expired:
+            shutil.rmtree(os.path.join(self.root, stage, sid), ignore_errors=True)
+        with open(log_path, "w") as f:
+            json.dump(kept, f)
+        return expired

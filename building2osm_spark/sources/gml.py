@@ -64,8 +64,13 @@ def _xml_roots(path: str, content: bytes):
 
     if path.endswith(".zip"):
         zf = zipfile.ZipFile(io.BytesIO(content))
-        for name in zf.namelist():
-            with zf.open(name) as f:
+        for info in zf.infolist():
+            # a user-rezipped archive can carry folder entries, schema
+            # .xsd files or __MACOSX noise — parsing those would fail the
+            # whole task; only GML/XML members hold features
+            if info.is_dir() or not info.filename.lower().endswith((".gml", ".xml")):
+                continue
+            with zf.open(info) as f:
                 yield ET.parse(f).getroot()
     else:
         yield ET.fromstring(content)
@@ -76,18 +81,19 @@ def _xml_roots(path: str, content: bytes):
 # ---------------------------------------------------------------------------
 
 
-def _parse_cadastral(root, source: str) -> Iterator[dict]:
+def _parse_cadastral(root, source: str) -> list[dict]:
     ns = {"gml": NS_GML, "app": NS_APP_BUILDING}
+    feats: list[dict] = []
+    xs: list[float] = []
+    ys: list[float] = []
     for feature in root.iter(f"{{{NS_GML}}}featureMember"):
         b = feature.find("app:Bygning", ns)
         if b is None:
             continue
         ref = b.find("app:bygningsnummer", ns).text
         pos = b.find("app:representasjonspunkt/gml:Point/gml:pos", ns).text.split()
-        x, y = float(pos[0]), float(pos[1])
-        # reference reprojects UTM 33N → WGS84 and rounds to 7 decimals
-        # (building2osm.py:619-621)
-        lat, lon = UTM.utm_to_latlon(np.array([x]), np.array([y]), 33)
+        xs.append(float(pos[0]))
+        ys.append(float(pos[1]))
         date_el = b.find("app:oppdateringsdato", ns)
         heritage_el = b.find("app:harKulturminne", ns)
         sefrak = b.find("app:sefrakIdent/app:SefrakIdent", ns)
@@ -103,10 +109,8 @@ def _parse_cadastral(root, source: str) -> Iterator[dict]:
             for d in b.findall("app:bruksenhet", ns)
             if d.find("app:Bruksenhet/app:bruksenhetId", ns) is not None
         ]
-        yield {
+        feats.append({
             "ref": ref,
-            "lon": round(float(lon[0]), COORD_DECIMALS),
-            "lat": round(float(lat[0]), COORD_DECIMALS),
             "building_type": b.find("app:bygningstype", ns).text,
             "status": b.find("app:bygningsstatus", ns).text,
             "date": date_el.text[:10] if date_el is not None and date_el.text else None,
@@ -114,7 +118,21 @@ def _parse_cadastral(root, source: str) -> Iterator[dict]:
             "sefrak": sefrak_txt,
             "dwellings": dwellings,
             "source_file": source,
-        }
+        })
+    if not feats:
+        return feats
+    # reference reprojects UTM 33N → WGS84 and rounds to 7 decimals
+    # (building2osm.py:619-621); ONE vectorized reprojection for the whole
+    # file — per-feature 1-element numpy calls put allocation + series
+    # overhead on the hottest ingest loop (~100k+ features per municipality
+    # archive). Rounding stays CPython round() for reference parity.
+    lat, lon = UTM.utm_to_latlon(
+        np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64), 33
+    )
+    for row, lo, la in zip(feats, lon, lat):
+        row["lon"] = round(float(lo), COORD_DECIMALS)
+        row["lat"] = round(float(la), COORD_DECIMALS)
+    return feats
 
 
 def parse_cadastral_gml(files: DataFrame) -> DataFrame:
@@ -144,14 +162,19 @@ def _parse_wfs_polygons(text: str, source: str) -> Iterator[dict]:
     posList appends one deduped ring, </wfs:member> closes it."""
     ref = None
     rings: list[list[list[float]]] = []
+    # `>= 0`, not the reference's `> 0` (building2osm.py:426,440): the
+    # reference only ever reads one server's indented output, where tags
+    # never start a line; a minified/re-serialized file would silently
+    # lose features under `> 0`. All parity fixtures are indented, so the
+    # two forms agree on them.
     for line in text.splitlines():
         i = line.find("<bu-base:reference>")
-        if i > 0:
+        if i >= 0:
             j = line.find("<", i + 19)
             ref = line[i + 19 : j]
             rings = []
         i = line.find("<gml:posList>")
-        if i > 0:
+        if i >= 0:
             j = line.find("<", i + 13)
             vals = [float(v) for v in line[i + 13 : j].split()]
             pairs = np.asarray(vals, dtype=np.float64).reshape(-1, 2)

@@ -27,8 +27,18 @@ ELEMENTS_SCHEMA = (
 
 def read_overpass_json(spark: SparkSession, path_glob: str) -> DataFrame:
     """Overpass response file(s) → one row per element
-    (type, id, lat, lon, nodes, members, tags, center)."""
-    raw = spark.read.schema(ELEMENTS_SCHEMA).option("multiLine", "true").json(path_glob)
+    (type, id, lat, lon, nodes, members, tags, center).
+
+    FAILFAST: with an explicit schema the default PERMISSIVE mode turns a
+    truncated/corrupt response file into one all-null row that the explode
+    silently drops — a whole municipality's buildings would vanish with
+    zero errors. A malformed file must fail the read instead."""
+    raw = (
+        spark.read.schema(ELEMENTS_SCHEMA)
+        .option("multiLine", "true")
+        .option("mode", "FAILFAST")
+        .json(path_glob)
+    )
     return raw.select(F.explode("elements").alias("e")).select("e.*")
 
 

@@ -56,20 +56,18 @@ def windowed_district_counts(
     )
 
 
+# output carries only facts the operator can actually observe: the state
+# API exposes no micro-batch id, and accumulating later-batch duplicate
+# counts in state would be dead weight — exactly-once emission means they
+# could never be re-emitted. n_duplicates_dropped therefore counts
+# duplicates WITHIN the first-seen micro-batch only.
 _DEDUP_OUTPUT = T.StructType(
     [
         T.StructField("key", T.StringType()),
-        T.StructField("first_seen_batch", T.LongType()),
         T.StructField("n_duplicates_dropped", T.LongType()),
     ]
 )
-_DEDUP_STATE = T.StructType(
-    [
-        T.StructField("seen", T.BooleanType()),
-        T.StructField("batch", T.LongType()),
-        T.StructField("dups", T.LongType()),
-    ]
-)
+_DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
 
 
 def streaming_dedupe_first_seen(
@@ -80,8 +78,8 @@ def streaming_dedupe_first_seen(
 ):
     """Exactly-once key emission across micro-batches: the FIRST occurrence
     of each key yields one output row (with the count of duplicates seen in
-    that batch); later occurrences across any batch are suppressed via
-    per-key GroupState.
+    that same micro-batch); later occurrences across any batch are
+    suppressed via per-key GroupState.
 
     ttl_ms=None (default) uses NoTimeout — state lives for the stream's
     lifetime, which is also what makes the operator usable under
@@ -102,22 +100,16 @@ def streaming_dedupe_first_seen(
             state.remove()
             return
         if state.exists:
-            seen, batch, dups = state.get
-            state.update((True, batch, dups + n_new))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
             return
-        state.update((True, 0, n_new - 1))
+        state.update((True,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         import pandas as pd
 
         yield pd.DataFrame(
-            {
-                "key": [key[0]],
-                "first_seen_batch": [0],
-                "n_duplicates_dropped": [n_new - 1],
-            }
+            {"key": [key[0]], "n_duplicates_dropped": [n_new - 1]}
         )
 
     return stream.groupBy(key_col).applyInPandasWithState(

@@ -109,6 +109,47 @@ def test_changed_params_commit_is_fresh_not_union(spark, tmp_path):
     assert store.read(spark, "stage_b").count() == 150
 
 
+def test_null_key_rows_resume_idempotently(spark, tmp_path):
+    """NULL keys must not be recommitted every run: a plain-equality
+    anti-join never matches NULL, so without the null-safe join a
+    committed NULL-key row duplicates on each incremental_commit."""
+    store = SnapshotStore(str(tmp_path / "snapnull"))
+    df = spark.range(10).select(
+        F.when(F.col("id") < 2, None).otherwise(F.col("id")).alias("ref"),
+        (F.col("id") * 2).alias("v"),
+    )
+    _, n1 = store.incremental_commit(df, "stage_n", "ref", params={"p": 1})
+    assert n1 == 10
+    # identical re-run: nothing is new, nothing duplicates
+    _, n2 = store.incremental_commit(df, "stage_n", "ref", params={"p": 1})
+    assert n2 == 0
+    final = store.read(spark, "stage_n")
+    assert final.count() == 10
+    assert final.filter(F.col("ref").isNull()).count() == 2
+
+
+def test_expire_snapshots_bounds_storage(spark, tmp_path):
+    """Copy-forward snapshots are each complete; expiry keeps the newest
+    keep_last and the latest remains readable with all rows."""
+    import os as _os
+
+    store = SnapshotStore(str(tmp_path / "snapexp"))
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("ref"), F.lit(1).alias("v")
+        )
+        store.incremental_commit(df, "stage_e", "ref", params={"p": 1})
+    stage_dir = str(tmp_path / "snapexp" / "stage_e")
+    snaps = [d for d in _os.listdir(stage_dir) if d != "log.json"]
+    assert len(snaps) == 3
+    expired = store.expire_snapshots("stage_e", keep_last=1)
+    assert len(expired) == 2
+    snaps = [d for d in _os.listdir(stage_dir) if d != "log.json"]
+    assert len(snaps) == 1
+    assert store.read(spark, "stage_e").count() == 300
+    assert store.manifest("stage_e")["row_count"] == 300
+
+
 def test_salt_is_deterministic_row_content(spark, skewed_points):
     """The salt must be a pure function of row content (retry safety,
     SPARK-23207 class): recomputing the same input yields the identical
