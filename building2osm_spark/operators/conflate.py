@@ -197,11 +197,19 @@ def conflate(
         # reverse-direction margin (building_merge.py:633-640)
         .filter(F.col("hausdorff_m") < margin_hausdorff)
         .withColumn("area_ratio", F.col("o_area") / F.col("i_area"))
-        # area-ratio gate (building_merge.py:725-728)
+        # area-ratio gate (building_merge.py:725-728). i_area can be 0
+        # (area truncates sub-1-m² rings to 0), making the division NULL;
+        # NULL would drop the pair from BOTH the accepted filter and the
+        # debug ~accepted surface — coalesce to rejected instead (the
+        # reference's float division would raise there; a 0-area import
+        # is never an acceptable match)
         .withColumn(
             "accepted",
-            (F.lit(margin_area) < F.col("area_ratio"))
-            & (F.col("area_ratio") < F.lit(1.0 / margin_area)),
+            F.coalesce(
+                (F.lit(margin_area) < F.col("area_ratio"))
+                & (F.col("area_ratio") < F.lit(1.0 / margin_area)),
+                F.lit(False),
+            ),
         )
         .select(
             "osm_id",
@@ -247,7 +255,13 @@ def conflate_with_tags(
     """
     from .tags import merged_tags
 
-    all_pairs = conflate(osm, imports, with_area_rejects=True, **kwargs)
+    # three consumers read all_pairs (matches→modified, the new-rows
+    # anti-join, and the debug size-reject surface) — truncate the lineage
+    # so the candidate join + Hausdorff kernel + two windows run once, not
+    # per consumer (eager=False: materializes at the first action)
+    all_pairs = conflate(osm, imports, with_area_rejects=True, **kwargs).localCheckpoint(
+        eager=False
+    )
     matches = all_pairs.filter("accepted")
     base_tags = merged_tags(F.col("__osm_tags"), F.col("props"), remove_addr=remove_addr)
     if debug:

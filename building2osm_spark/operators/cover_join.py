@@ -370,9 +370,18 @@ def assign_points_to_polygons(
         # that would outlive the call in a long-lived session
         assigned = assigned.localCheckpoint(eager=True)
         point_cols = [c for c in points.columns]
-        leftovers = points.join(
-            assigned.select(*point_cols).distinct(), point_cols, "left_anti"
-        ).withColumn(poly_id, F.lit(None).cast(assigned.schema[poly_id].dataType))
+        # null-SAFE anti-join: with plain equality a point row carrying a
+        # NULL attribute column never matches its own assigned copy and
+        # would be emitted twice (assigned + spurious NULL-poly leftover)
+        right = assigned.select(
+            *[F.col(c).alias(f"__a_{c}") for c in point_cols]
+        ).distinct()
+        cond = F.lit(True)
+        for c in point_cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__a_{c}"))
+        leftovers = points.join(right, cond, "left_anti").withColumn(
+            poly_id, F.lit(None).cast(assigned.schema[poly_id].dataType)
+        )
         assigned = assigned.select(*point_cols, poly_id).unionByName(
             leftovers.select(*point_cols, poly_id)
         )

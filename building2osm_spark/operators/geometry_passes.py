@@ -56,7 +56,7 @@ def _explode_vertices(df: DataFrame, include_closing: bool) -> DataFrame:
 _CC_DRIVER_MAX = 1_000_000  # vertex rows; ~50 MB collected
 
 
-def connected_components(df: DataFrame, max_iter: int = 6) -> DataFrame:
+def connected_components(df: DataFrame, max_iter: int = 20) -> DataFrame:
     """(ref, component) via shared-vertex connectivity.
     Component id = lexicographically smallest member ref.
 
@@ -100,6 +100,7 @@ def connected_components(df: DataFrame, max_iter: int = 6) -> DataFrame:
             mapping, schema="ref string, component string"
         )
     labels = df.select("ref").withColumn("component", F.col("ref")).persist()
+    converged = False
     for _ in range(max_iter):
         vertex_label = (
             verts.join(labels, "ref")
@@ -123,8 +124,20 @@ def connected_components(df: DataFrame, max_iter: int = 6) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     verts.unpersist()
+    if not converged:
+        # an unconverged result SPLITS physical components (the min label
+        # has only walked max_iter ref→vertex→ref hops) — rectify would
+        # then run on partial groups and silently diverge from the
+        # reference; a long terrace chain legitimately needs more rounds
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"in {max_iter} rounds (component diameter > ~{2 * max_iter}); "
+            f"re-run with a larger max_iter"
+        )
     # hand back materialized blocks (ContextCleaner-managed), not a
     # CacheManager entry the caller would have to remember to release
     out = labels.localCheckpoint(eager=True)

@@ -17,6 +17,12 @@ argmin-Hausdorff scan (building_merge.py:680-713). Here:
 Everything is Catalyst expressions: cell arithmetic, distance, windows —
 no Python in the plan. Shuffle volume per round ≈ candidate pairs, not
 points × targets.
+
+Domain assumption: a non-wrapping region (grid indices CLAMP at the bbox
+edges rather than wrapping longitude) — the reference's equirectangular
+metric (building2osm.py:105-110) is itself only valid at municipality
+scale, far from the antimeridian/poles, so data straddling ±180° is out
+of scope for the whole engine, not just this operator.
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ from ..constants import DEFAULT_CELL_RES, EARTH_RADIUS
 from ..functions.columns import cell_id_col, distance_m_col
 
 _M_PER_DEG = 3.141592653589793 * EARTH_RADIUS / 180.0  # equirect metre/degree
+_BROADCAST_MAX_ROWS = 2_000_000  # ~50 MB of (id, lon, lat) — safe to ship
 
 
 def _neighbors9(lon, lat, res: int):
@@ -100,6 +107,17 @@ def knn_join(
             F.min(target_lon).alias("lo1"), F.max(target_lon).alias("hi1"),
             F.min(target_lat).alias("lo2"), F.max(target_lat).alias("hi2"),
         ).first()
+        if stats["n"] == 0:
+            # empty targets: the bbox aggregates are NULL (the arithmetic
+            # below would TypeError) — return the schema-correct empty
+            # result the explicit-res path would produce
+            return (
+                points.select(point_id, lon, lat)
+                .limit(0)
+                .crossJoin(tgt.select(target_id).limit(0))
+                .withColumn("dist_m", F.lit(0.0).cast("double"))
+                .withColumn("knn_rank", F.lit(1))
+            )
         dlon = max(float(stats["hi1"] - stats["lo1"]), 1e-9)
         dlat = max(float(stats["hi2"] - stats["lo2"]), 1e-9)
         want_per_block = 2.0 * (k + 2)
@@ -161,11 +179,25 @@ def knn_join(
             break
 
     if n_remaining != 0:
-        # stragglers: broadcast the tiny remainder against the full target scan
+        # stragglers: a keyless (cross) join of the remainder against the
+        # full target scan — broadcast the SMALL side. The remainder is
+        # usually tiny, but when k > |targets| NO point ever resolves and
+        # `remaining` is the full point table: broadcasting it would OOM;
+        # the targets side is then the small one by construction.
+        if n_remaining <= _BROADCAST_MAX_ROWS:
+            joined = F.broadcast(remaining).join(tgt)
+        elif tgt.count() <= _BROADCAST_MAX_ROWS:
+            joined = remaining.join(F.broadcast(tgt))
+        else:
+            raise RuntimeError(
+                f"knn_join: {n_remaining} points unresolved after {rounds} "
+                f"rounds and the target table is too large to broadcast — "
+                f"raise rounds (or the starting res) so the grid join can "
+                f"resolve them"
+            )
         w = Window.partitionBy(point_id).orderBy(F.col("dist_m"), F.col(target_id))
         last = (
-            F.broadcast(remaining)
-            .join(tgt)
+            joined
             .withColumn(
                 "dist_m",
                 distance_m_col(F.col(lon), F.col(lat), F.col(target_lon), F.col(target_lat)),
@@ -181,6 +213,9 @@ def knn_join(
         out = out.unionByName(part)
     if checkpoint:
         out = out.localCheckpoint(eager=True)
-        for df in persisted:
-            df.unpersist()
+    # release the per-round caches in BOTH modes (the docstring's
+    # contract): with checkpoint=False the result is then fully lazy and
+    # the caller's action recomputes each round's candidate join once
+    for df in persisted:
+        df.unpersist()
     return out

@@ -97,16 +97,23 @@ def raster_vector_overlay(
     cand = imgs.join(tiles, "tile")
     if not exact:
         return cand.drop("full")
-    with_geom = cand.join(
+    # only BOUNDARY-tile candidates need the ring payload — in a dense
+    # raster the full-tile majority is proven by the tile alone, so
+    # joining the flattened rings onto those rows would ship the geometry
+    # through the hot candidate shuffle just to drop it in the filter
+    full_hits = cand.filter(F.col("full")).drop("full")
+    boundary = cand.filter(~F.col("full")).drop("full")
+    with_geom = boundary.join(
         polys.select(
             F.col(ref_col),
             flatten_geometry_col(F.col(geometry), multipolygon=False).alias("__rings"),
         ),
         ref_col,
     )
-    return with_geom.filter(
-        F.col("full") | rings_contains_col(F.col("__rings"), F.col(lon), F.col(lat))
-    ).drop("__rings", "full")
+    refined = with_geom.filter(
+        rings_contains_col(F.col("__rings"), F.col(lon), F.col(lat))
+    ).drop("__rings")
+    return full_hits.unionByName(refined)
 
 
 def tile_summary(overlay: DataFrame) -> DataFrame:

@@ -78,14 +78,28 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = 3,
 ) -> np.ndarray:
-    """Tiny Lloyd's k-means on a driver-side sample → (n_centroids, dim).
+    """Tiny Lloyd's k-means on a driver-side sample → (≤ n_centroids, dim).
     The model is small by construction; training cost is independent of
     corpus size. The sample is widened to ≥ 2·n_centroids so large
-    centroid counts (IVF at real corpus sizes) always train."""
+    centroid counts (IVF at real corpus sizes) always train.
+
+    The sample is a Bernoulli sample across ALL partitions — a limit()
+    would read only the first file(s), and embedding tables are routinely
+    written sorted/clustered by class or locality, so first-partition
+    centroids would all train on one region (extreme list skew, collapsed
+    recall). Costs one count() at index-build time. A corpus smaller than
+    n_centroids returns one centroid per row (fewer lists, still valid)."""
     sample = max(sample, 2 * n_centroids)
-    rows = corpus.select(vec_col).limit(sample).collect()
+    n_corpus = corpus.count()
+    vecs = corpus.select(vec_col)
+    if n_corpus > sample:
+        # oversample 2x so the post-sample limit() almost surely has
+        # `sample` rows to draw from, then trim
+        vecs = vecs.sample(False, min(1.0, 2.0 * sample / n_corpus), seed).limit(sample)
+    rows = vecs.collect()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n_centroids = min(n_centroids, len(X))
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), n_centroids, replace=False)]
     for _ in range(iters):

@@ -157,6 +157,31 @@ def test_keep_unassigned_marks_leftovers(spark):
     assert {r.image_id for r in rows} == {f"img_{i:012d}" for i in range(300)}
 
 
+def test_keep_unassigned_null_attr_not_duplicated(spark):
+    """A point row carrying a NULL attribute column must not appear twice
+    (assigned + spurious leftover): the leftover anti-join is null-safe."""
+    images = FX.spark_images(spark, 200, with_loc=True).select(
+        "image_id",
+        "lon",
+        "lat",
+        F.when(F.col("image_id").substr(-1, 1) == "0", None)
+        .otherwise(F.col("caption"))
+        .alias("attr"),
+    )
+    subs = FX.spark_subdivisions(spark, 4, 4)
+    got = assign_points_to_polygons(
+        images,
+        subs.select(F.col("name").alias("poly_id"), "geometry"),
+        multipolygon=True,
+        keep_unassigned=True,
+    )
+    per_image = got.groupBy("image_id").count().collect()
+    assert all(r["count"] == 1 for r in per_image)
+    assert len(per_image) == 200
+    # the NULL-attr rows are present exactly once too
+    assert got.filter(F.col("attr").isNull()).count() == 20
+
+
 def test_points_side_not_shuffled_in_broadcast_plan(spark, data):
     """Scale contract: with broadcast=True the points side must reach the
     refine stage without an Exchange on the points (only the tiny cover side

@@ -98,3 +98,28 @@ def test_knn_plan_is_native(spark):
     plan = knn_join(pts, tgts, k=1)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_knn_empty_targets_returns_empty(spark):
+    """res=None over an empty target table must not crash on NULL bbox
+    aggregates — it returns the schema-correct empty result."""
+    pts, tgts, *_ = _fixture(spark, n_points=10)
+    got = knn_join(pts, tgts.limit(0), k=1)
+    assert got.count() == 0
+    assert set(got.columns) == {"point_id", "lon", "lat", "target_id", "dist_m", "knn_rank"}
+
+
+def test_knn_k_exceeds_targets_broadcasts_target_side(spark):
+    """k > |targets|: no point ever resolves in the grid rounds (cnt < k),
+    so the fallback must broadcast the TARGET side, not the full point
+    table, and every point still gets all available targets."""
+    pts, tgts, *_ = _fixture(spark, n_points=40, seed=5)
+    three = tgts.orderBy("target_id").limit(3)
+    want_ids = {r["target_id"] for r in three.collect()}
+    got = knn_join(pts, three, k=5).collect()
+    by_pid = {}
+    for r in got:
+        by_pid.setdefault(r.point_id, []).append(r.target_id)
+    assert len(by_pid) == 40
+    # each point gets all 3 available targets (k capped by availability)
+    assert all(set(v) == want_ids for v in by_pid.values())
