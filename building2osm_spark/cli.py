@@ -31,14 +31,14 @@ def _spark(args):
 
 def cmd_process(args) -> int:
     """building2osm flow: enrich + rectify + simplify + WKB + GeoJSON."""
-    from pyspark.sql import functions as F
-
     from .plans.pipeline import municipality_pipeline
     from .sources.geojson import write_geojson
 
     spark = _spark(args)
     buildings = spark.read.parquet(args.buildings)
     out = municipality_pipeline(spark, buildings, debug=args.debug, verify=args.verify)
+    # two sinks (parquet + geojson) — run the rectify/simplify plan once
+    out = out.localCheckpoint(eager=False)
     os.makedirs(args.out, exist_ok=True)
     out.write.mode("overwrite").parquet(os.path.join(args.out, "buildings.parquet"))
     n = write_geojson(
@@ -52,11 +52,14 @@ def cmd_process(args) -> int:
 
 
 def cmd_merge(args) -> int:
-    """building_merge flow: anti-join + mutual-best conflation + tag merge."""
+    """building_merge flow: anti-join + mutual-best conflation + tag merge.
+    Writes matches.parquet (the pair table) AND merged.parquet — the
+    building_merge.py output rows (ref, osm_id, action, tags) with
+    add_building merged tag maps on matches and action='new' rows for
+    unmatched imports."""
     from pyspark.sql import functions as F
 
-    from .operators.conflate import conflate
-    from .operators.tags import merged_tags
+    from .operators.conflate import conflate, conflate_with_tags
 
     spark = _spark(args)
     osm = spark.read.parquet(args.osm)
@@ -64,8 +67,8 @@ def cmd_merge(args) -> int:
         from .functions.udfs import area_merge_udf, centre_udf
         from .sources.geojson import read_geojson
 
-        imports = read_geojson(spark, args.imports)
-        imports = imports.select(
+        raw = read_geojson(spark, args.imports)
+        imports = raw.select(
             "ref",
             F.col("geometry")[0].alias("ring"),
             centre_udf("geometry")["lon"].alias("c_lon"),
@@ -73,18 +76,38 @@ def cmd_merge(args) -> int:
             area_merge_udf("geometry").alias("area"),
             F.col("tags")["building"].alias("building"),
         )
+        import_props = raw.select("ref", F.col("tags").alias("props"))
     else:
         imports = spark.read.parquet(args.imports)
+        # parquet imports carry no tag payload — synthesize the minimal
+        # props the reference's import features always have
+        import_props = imports.select(
+            "ref",
+            F.create_map(
+                F.lit("building"), F.col("building"),
+                F.lit("ref:bygningsnr"), F.col("ref"),
+            ).alias("props"),
+        )
     matches = conflate(
         osm, imports,
         margin_hausdorff=args.maxdist,
         margin_tagged=args.maxdist / 2.0,
         with_area_rejects=args.debug,  # -debug keeps SIZE-rejected pairs
     )
+    merged = conflate_with_tags(
+        osm, imports, import_props,
+        remove_addr=args.remove_addr,
+        debug=args.debug,
+        margin_hausdorff=args.maxdist,
+        margin_tagged=args.maxdist / 2.0,
+    )
     os.makedirs(args.out, exist_ok=True)
     matches.write.mode("overwrite").parquet(os.path.join(args.out, "matches.parquet"))
-    n = matches.count()
-    print(f"merged {n} buildings -> {args.out}/matches.parquet")
+    merged.write.mode("overwrite").parquet(os.path.join(args.out, "merged.parquet"))
+    # count from the written files — a second action on the lazy plan
+    # would re-run the whole conflation
+    n = spark.read.parquet(os.path.join(args.out, "merged.parquet")).count()
+    print(f"merged {n} buildings -> {args.out}/merged.parquet")
     return 0
 
 
@@ -105,10 +128,16 @@ def cmd_split(args) -> int:
         multipolygon=True,
         keep_unassigned=True,
     )
+    # three consumers (snapshot commit, partitioned write, counts): run
+    # the PIP assignment once
+    assigned = assigned.localCheckpoint(eager=False)
     if args.resume_root:
         store = SnapshotStore(args.resume_root)
         inside = assigned.filter(F.col("district").isNotNull())
-        sid, n_new = store.incremental_commit(inside, "split", points.columns[0])
+        key = args.id_col or points.columns[0]
+        if args.id_col is None:
+            print(f"resume key: first column {key!r} (override with --id-col)")
+        sid, n_new = store.incremental_commit(inside, "split", key)
         print(f"snapshot {sid}: {n_new} new assignments")
     os.makedirs(args.out, exist_ok=True)
     (
@@ -144,6 +173,8 @@ def main(argv=None) -> int:
     m.add_argument("--maxdist", type=float, default=10.0)
     m.add_argument("--debug", action="store_true",
                    help="emit HAUSDORFF/IDENTICAL/SIZE/AREA tags (reference -debug)")
+    m.add_argument("--remove-addr", action="store_true",
+                   help="drop addr:* from kept OSM tags on merge")
     m.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("split", help="PIP split into districts (municipality_split.py)")
@@ -151,6 +182,8 @@ def main(argv=None) -> int:
     s.add_argument("--districts", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--resume-root", default=None)
+    s.add_argument("--id-col", default=None,
+                   help="snapshot resume key column (default: first column)")
     s.set_defaults(fn=cmd_split)
 
     args = ap.parse_args(argv)

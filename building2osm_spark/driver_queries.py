@@ -620,7 +620,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKEN = """
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens,
        CAST(length(text) AS INT) AS n_chars
 FROM documents
 """
@@ -636,8 +637,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stopword_sql(lang_words: list[str]) -> str:
+    # mirror of text.stopword_hits: split on any whitespace run, count
+    # exact word membership (string_split_regex keeps empties like Spark
+    # split; '' never matches a stopword)
     terms = [
-        f"CAST((length(padded) - length(replace(padded, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        f"CAST(len(list_filter(words, x -> x = '{w}')) AS BIGINT)"
         for w in lang_words
     ]
     return " + ".join(terms)
@@ -645,7 +649,7 @@ def _stopword_sql(lang_words: list[str]) -> str:
 
 ORACLE_LANG = f"""
 WITH padded_docs AS (
-  SELECT lang, ' ' || lower(text) || ' ' AS padded FROM documents
+  SELECT lang, string_split_regex(lower(text), '\\s+') AS words FROM documents
 ),
 scored AS (
   SELECT lang,

@@ -206,8 +206,12 @@ def parse_ref_col(col: Column) -> Column:
 
 
 def level_code_cols(col: Column) -> tuple[Column, Column]:
-    """'H0203' → (type 'H', number 2) — building2osm.py:746-749."""
-    return F.substring(col, 1, 1), F.substring(col, 2, 2).cast("int")
+    """'H0203' → (type 'H', number 2) — building2osm.py:746-749.
+    try_cast: under the session's ANSI mode a malformed/short code would
+    abort the whole job on cast; the reference skips empty codes
+    (building2osm.py:746 guard) and would itself crash on short ones —
+    NULL here makes both vanish from the max() aggregation instead."""
+    return F.substring(col, 1, 1), F.substring(col, 2, 2).try_cast("int")
 
 
 def date_trunc10_col(col: Column) -> Column:

@@ -175,8 +175,10 @@ def verify_against_oracle(df: DataFrame) -> DataFrame:
     vs the deterministic oracle pixels (PSNR, ∞ for lossless formats,
     ≥40 dB required for lossy), caption template equality, and phash
     consistency. The oracle pixels are re-generated from image_id inside
-    the kernel — no second table needs to ship."""
-    from ..sources.fixtures import _CAPTION_TYPES, fnv1a64
+    the kernel — no second table needs to ship. Contract: rows from the
+    DEFAULT corpus (content keyed by the row's own image_id); planted
+    near-dup rows (content redirected to another id) are out of scope."""
+    from ..sources.fixtures import caption_for
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -187,11 +189,7 @@ def verify_against_oracle(df: DataFrame) -> DataFrame:
             ):
                 pix = decode_image(bytes(data), fmt, int(w), int(h))
                 oracle = _pixels_for(img_id, int(w), int(h))
-                h64 = int(fnv1a64(img_id))
-                want_caption = (
-                    f"a photo of a {_CAPTION_TYPES[h64 % len(_CAPTION_TYPES)]} "
-                    f"near oslo #{int(img_id.split('_')[1]) % 97}"
-                )
+                want_caption = caption_for(int(img_id.split("_")[1]))
                 ids.append(img_id)
                 psnrs.append(psnr(oracle, pix))
                 caps.append(caption == want_caption)

@@ -22,8 +22,11 @@ _STOPWORDS = {
 
 
 def token_count_ws(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace token count; 0 for empty/whitespace-only text
+    (split('') yields [''], which must not count as a token)."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
 
 
 def token_count_bpe_ish(text: Column) -> Column:
@@ -34,17 +37,25 @@ def token_count_bpe_ish(text: Column) -> Column:
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
-    """Occurrences of the language's marker stopwords as standalone words."""
-    lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    """Occurrences of the language's marker stopwords as standalone words.
+
+    Words are delimited by ANY whitespace run and counted by exact array
+    membership — the previous padded-string replace() missed words
+    delimited by newlines/tabs entirely ('the cat\\nand…' scored 0) and
+    undercounted adjacent repeats (non-overlapping ' the ' windows share
+    their delimiter space)."""
+    words = F.split(F.lower(text), r"\s+")
+
+    def eq(word: str):
+        # NB: a `lambda x, w=w:` default-arg closure has TWO parameters,
+        # which PySpark's higher-order functions interpret as the
+        # (element, index) binary form — the index then overrides the
+        # default. A real closure keeps the lambda unary.
+        return lambda x: x == F.lit(word)
+
     total = F.lit(0)
     for w in _STOPWORDS[lang]:
-        token = f" {w} "
-        # occurrence count via length difference
-        occ = (
-            F.length(lowered)
-            - F.length(F.replace(lowered, F.lit(token), F.lit("")))
-        ) / F.lit(len(token))
-        total = total + occ
+        total = total + F.size(F.filter(words, eq(w)))
     return total.cast("long")
 
 

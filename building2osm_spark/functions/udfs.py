@@ -168,3 +168,17 @@ def round7_geometry_udf(geometry: pd.Series) -> pd.Series:
     for g in geometry:
         out.append([np.round(_ring(r), 7).tolist() for r in g])
     return pd.Series(out)
+
+@F.pandas_udf(T.StringType())
+def format2f_udf(values: pd.Series) -> pd.Series:
+    """CPython-exact '%.2f' (NULL→NULL). The JVM's format_string rounds
+    the double's shortest repr HALF_UP while CPython rounds the exact
+    binary value half-even (0.125 → '0.12' vs '0.13') — debug/verify tag
+    byte parity with the reference needs the CPython semantics."""
+    return values.map(lambda v: None if v is None or v != v else "%.2f" % v)
+
+
+@F.pandas_udf(T.StringType())
+def format1f_udf(values: pd.Series) -> pd.Series:
+    """CPython-exact '%.1f' (NULL→NULL) — see format2f_udf."""
+    return values.map(lambda v: None if v is None or v != v else "%.1f" % v)

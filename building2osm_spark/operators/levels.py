@@ -31,7 +31,11 @@ def building_levels(
     bruksenhetId) → (ref, building_levels, roof_levels), nulls where the
     reference emits no tag (building2osm.py:756-768)."""
     level_type, level_num = level_code_cols(F.col(code_col))
-    parsed = dwellings.select(
+    # the reference skips falsy codes (building2osm.py:746); NULL/empty
+    # rows must not reach the cast or the type test
+    parsed = dwellings.filter(
+        F.col(code_col).isNotNull() & (F.col(code_col) != "")
+    ).select(
         F.col(dwelling_id),
         level_type.alias("__t"),
         level_num.alias("__n"),

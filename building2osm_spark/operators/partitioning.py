@@ -42,34 +42,76 @@ def adaptive_cells(
 ) -> DataFrame:
     """Assign every point a cell whose population ≤ 0.95·max_per_cell by
     recursive hot-cell refinement: start at base_res; any cell at or above
-    the threshold re-censuses its points two resolutions deeper (4→16
-    children, the quadtree force_divide), up to max_levels rounds.
+    the threshold refines two resolutions deeper (4→16 children, the
+    quadtree force_divide), up to max_levels rounds.
 
     Returns (…point columns…, cell) — a mixed-resolution partitioning key
     with bounded per-key row counts (up to the resolution floor).
+
+    Shape: one density census per level (map-side-combined groupBy, small
+    result) + ONE final projection that picks each point's coarsest
+    non-split prefix cell via broadcast joins of the per-level split sets.
+    No per-round driver actions, no anti/semi-join cascade, and the point
+    table is never cached or re-scanned per round. Equivalence to the
+    recursive formulation: a child cell's census among hot-parent points
+    IS its full census (the child determines its parent), so split
+    decisions from full per-level histograms — a cell splits when its
+    population ≥ target AND its whole parent chain split — are identical.
     """
     target = int(max_per_cell * SPLIT_FACTOR)
-    pts = points.withColumn("cell", cell_id_col(F.col(lon), F.col(lat), base_res))
-    done_parts: list[DataFrame] = []
-    res = base_res
-    for _ in range(max_levels):
-        hist = pts.groupBy("cell").agg(F.count("*").alias("__n"))
-        hot = hist.filter(F.col("__n") >= target).select("cell")
-        cold = pts.join(F.broadcast(hot), "cell", "left_anti")
-        done_parts.append(cold)
-        hot_pts = pts.join(F.broadcast(hot), "cell", "left_semi")
-        if hot_pts.isEmpty():
+    levels: list[int] = []
+    r = base_res
+    for _ in range(max_levels + 1):
+        if levels and r == levels[-1]:
             break
-        res = min(res + 2, 26)
-        pts = hot_pts.drop("cell").withColumn(
-            "cell", cell_id_col(F.col(lon), F.col(lat), res)
+        levels.append(r)
+        r = min(r + 2, 26)
+
+    idx_mask = (1 << 27) - 1
+    splits: list[DataFrame] = []  # (cell) at levels[k] that split further
+    for k, res in enumerate(levels[:-1]):
+        hot = (
+            cell_histogram(points, lon, lat, res)
+            .filter(F.col("n") >= target)
+            .select("cell")
         )
-    else:
-        done_parts.append(pts)
-    out = done_parts[0]
-    for p in done_parts[1:]:
-        out = out.unionByName(p)
-    return out
+        if k > 0:
+            shift = res - levels[k - 1]
+            ix = F.shiftrightunsigned("cell", 27).bitwiseAND(F.lit(idx_mask))
+            iy = F.col("cell").bitwiseAND(F.lit(idx_mask))
+            parent = (
+                F.shiftleft(F.lit(levels[k - 1]).cast("long"), 54)
+                .bitwiseOR(F.shiftleft(F.shiftrightunsigned(ix, shift), 27))
+                .bitwiseOR(F.shiftrightunsigned(iy, shift))
+            )
+            hot = hot.join(
+                F.broadcast(splits[k - 1].withColumnRenamed("cell", "__parent")),
+                parent == F.col("__parent"),
+                "left_semi",
+            )
+        splits.append(hot)
+
+    out = points
+    for k, res in enumerate(levels):
+        out = out.withColumn(f"__c{k}", cell_id_col(F.col(lon), F.col(lat), res))
+    for k, split in enumerate(splits):
+        out = out.join(
+            F.broadcast(
+                split.withColumnRenamed("cell", f"__c{k}").withColumn(
+                    f"__s{k}", F.lit(True)
+                )
+            ),
+            f"__c{k}",
+            "left",
+        )
+    cell = F.col(f"__c{len(levels) - 1}")  # resolution floor: never splits
+    for k in range(len(splits) - 1, -1, -1):
+        cell = F.when(F.col(f"__s{k}").isNull(), F.col(f"__c{k}")).otherwise(cell)
+    out = out.withColumn("cell", cell)
+    return out.drop(
+        *[f"__c{k}" for k in range(len(levels))],
+        *[f"__s{k}" for k in range(len(splits))],
+    )
 
 
 def salted_repartition(

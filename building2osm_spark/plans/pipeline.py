@@ -72,6 +72,10 @@ def assignment_pipeline(
         broadcast=True,
         keep_unassigned=True,
     )
+    # many consumers (counts, per-district collect, snapshot commit, the
+    # caller's own actions on the returned frames): truncate the lineage
+    # so the location UDF + cover join run once, not per action
+    assigned = assigned.localCheckpoint(eager=False)
     inside = assigned.filter(F.col("district").isNotNull())
     leftovers = assigned.filter(F.col("district").isNull()).drop("district")
 
@@ -87,7 +91,7 @@ def assignment_pipeline(
             point_id="image_id",
         ).select(
             "image_id", F.col("target_id").alias("nearest_ref"), "dist_m"
-        )
+        ).localCheckpoint(eager=False)  # count + caller actions read once
 
     metrics = {
         "n_images": images.count(),
@@ -124,7 +128,7 @@ def municipality_pipeline(
     margin (verify). The sink keeps VERIFY_* under the verify flag
     (building2osm.py:1309)."""
     from ..constants import RECTIFY_MARGIN
-    from ..functions.udfs import round7_geometry_udf, wkb_udf
+    from ..functions.udfs import format1f_udf, format2f_udf, round7_geometry_udf, wkb_udf
 
     types = building_types(spark)
     enriched = compose_output_tags(enrich_building_tags(buildings, types))
@@ -144,7 +148,9 @@ def municipality_pipeline(
                     F.lit("DEBUG_RECTIFY"),
                     F.when(
                         F.col("rectified") == "done",
-                        F.format_string("%.2f", F.col("relocated")),
+                        # CPython '%.2f' (reference building2osm.py:1257):
+                        # JVM format_string diverges on repr-midpoints
+                        format2f_udf(F.col("relocated")),
                     ),
                     F.lit("DEBUG_NORECTIFY"),
                     F.when(
@@ -164,7 +170,7 @@ def municipality_pipeline(
                     F.when(
                         (F.col("rectified") == "done")
                         & (F.col("relocated") > 0.5 * RECTIFY_MARGIN),
-                        F.format_string("%.1f", F.col("relocated")),
+                        format1f_udf(F.col("relocated")),
                     ),
                 ),
                 lambda _, v: v.isNotNull(),

@@ -156,6 +156,18 @@ _CAPTION_TYPES = [
 ]
 
 
+def caption_for(i: int) -> str:
+    """The deterministic caption template for id index i — the single
+    source of truth shared by the row builders and
+    functions.images.verify_against_oracle (a drifted inline copy would
+    silently fail every caption check)."""
+    h64 = int(fnv1a64(f"img_{i:012d}"))
+    return (
+        f"a photo of a {_CAPTION_TYPES[h64 % len(_CAPTION_TYPES)]} "
+        f"near oslo #{i % 97}"
+    )
+
+
 def _image_rows_pdf(
     ids,
     hot_frac: float = 0.0,
@@ -193,10 +205,7 @@ def _image_rows_pdf(
         else:
             data = encode_qraw(pix)
         decoded = decode_image(data, fmt, w, hgt)
-        caption = (
-            f"a photo of a {_CAPTION_TYPES[h64 % len(_CAPTION_TYPES)]} "
-            f"near oslo #{src % 97}"
-        )
+        caption = caption_for(src)
         row = {
             "image_id": image_id,
             "bytes": data,

@@ -32,3 +32,22 @@ def test_building_levels(spark):
     # L>0 with H+U<=1 emits NO roof tag
     assert rows["b5"]["building_levels"] is None and rows["b5"]["roof_levels"] is None
     assert rows["b6"]["building_levels"] is None and rows["b6"]["roof_levels"] is None
+
+
+def test_malformed_level_codes_ignored(spark):
+    """Empty/NULL/short codes must not abort the job under ANSI mode —
+    the reference skips falsy codes; short ones become NULL numbers and
+    vanish from the max aggregation."""
+    from building2osm_spark.operators.levels import building_levels
+
+    dw = spark.createDataFrame(
+        [("d1", "H0203"), ("d2", ""), ("d3", None), ("d4", "U01"), ("d5", "H")],
+        "bruksenhetId string, bruksenhetsnummerTekst string",
+    )
+    link = spark.createDataFrame(
+        [("b1", f"d{i}") for i in range(1, 6)], "ref string, bruksenhetId string"
+    )
+    rows = building_levels(dw, link).collect()
+    assert len(rows) == 1
+    assert rows[0]["building_levels"] == 3  # H2 + U1
+    assert rows[0]["roof_levels"] is None
