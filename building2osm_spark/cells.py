@@ -124,6 +124,46 @@ def cover_bbox(minlon: float, minlat: float, maxlon: float, maxlat: float, res: 
     return (np.int64(res) << _RES_SHIFT) | (gx.ravel() << _IX_SHIFT) | gy.ravel()
 
 
+_OVERLAP_MAX_ELEMS = 8_000_000  # bound (cells × vertices) bool intermediates
+
+
+def _any_edge_bbox_overlap(c_minlon, c_minlat, c_maxlon, c_maxlat, r: np.ndarray) -> np.ndarray:
+    """(cells,) bool: does any edge's bbox of ring `r` overlap each cell?
+    Chunked over edges so a 100k-vertex ring never builds a multi-GB
+    (cells × edges) matrix."""
+    vx, vy = r[:, 0], r[:, 1]
+    ex0 = np.minimum(vx[:-1], vx[1:])
+    ex1 = np.maximum(vx[:-1], vx[1:])
+    ey0 = np.minimum(vy[:-1], vy[1:])
+    ey1 = np.maximum(vy[:-1], vy[1:])
+    n_cells, n_edges = len(c_minlon), len(ex0)
+    out = np.zeros(n_cells, dtype=bool)
+    step = max(1, _OVERLAP_MAX_ELEMS // max(n_cells, 1))
+    for lo in range(0, n_edges, step):
+        hi = min(lo + step, n_edges)
+        out |= (
+            (c_minlon[:, None] <= ex1[None, lo:hi]) & (ex0[None, lo:hi] <= c_maxlon[:, None])
+            & (c_minlat[:, None] <= ey1[None, lo:hi]) & (ey0[None, lo:hi] <= c_maxlat[:, None])
+        ).any(axis=1)
+    return out
+
+
+def _any_vertex_in_cell(c_minlon, c_minlat, c_maxlon, c_maxlat, r: np.ndarray) -> np.ndarray:
+    """(cells,) bool: does any vertex of ring `r` fall inside each cell?
+    Chunked like _any_edge_bbox_overlap."""
+    vx, vy = r[:, 0], r[:, 1]
+    n_cells, n_verts = len(c_minlon), len(vx)
+    out = np.zeros(n_cells, dtype=bool)
+    step = max(1, _OVERLAP_MAX_ELEMS // max(n_cells, 1))
+    for lo in range(0, n_verts, step):
+        hi = min(lo + step, n_verts)
+        out |= (
+            (c_minlon[:, None] <= vx[None, lo:hi]) & (vx[None, lo:hi] <= c_maxlon[:, None])
+            & (c_minlat[:, None] <= vy[None, lo:hi]) & (vy[None, lo:hi] <= c_maxlat[:, None])
+        ).any(axis=1)
+    return out
+
+
 def cover_polygon(rings: list[np.ndarray], res: int, max_cells: int = 4096) -> np.ndarray:
     """Cell cover of a polygon (list of rings, ring 0 outer): bbox cells whose
     rectangle plausibly intersects the outer ring. Cells fully outside the
@@ -170,21 +210,9 @@ def cover_polygon(rings: list[np.ndarray], res: int, max_cells: int = 4096) -> n
     corner_inside = points_in_ring(flat, outer).reshape(-1, 4).any(axis=1)
 
     # vertex-in-cell test (any polygon vertex falls into the cell)
-    vx, vy = outer[:, 0], outer[:, 1]
-    vert_in = (
-        (c_minlon[:, None] <= vx[None, :]) & (vx[None, :] <= c_maxlon[:, None])
-        & (c_minlat[:, None] <= vy[None, :]) & (vy[None, :] <= c_maxlat[:, None])
-    ).any(axis=1)
-
+    vert_in = _any_vertex_in_cell(c_minlon, c_minlat, c_maxlon, c_maxlat, outer)
     # edge-bbox overlap: an edge may cross a cell without endpoints inside
-    ex0 = np.minimum(vx[:-1], vx[1:])
-    ex1 = np.maximum(vx[:-1], vx[1:])
-    ey0 = np.minimum(vy[:-1], vy[1:])
-    ey1 = np.maximum(vy[:-1], vy[1:])
-    edge_overlap = (
-        (c_minlon[:, None] <= ex1[None, :]) & (ex0[None, :] <= c_maxlon[:, None])
-        & (c_minlat[:, None] <= ey1[None, :]) & (ey0[None, :] <= c_maxlat[:, None])
-    ).any(axis=1)
+    edge_overlap = _any_edge_bbox_overlap(c_minlon, c_minlat, c_maxlon, c_maxlat, outer)
 
     keep = corner_inside | vert_in | edge_overlap
     return cells[keep]
@@ -219,15 +247,7 @@ def cover_polygon_flags(
 
     for ring in rings:  # outer + holes: any edge near the cell → boundary
         r = np.asarray(ring, dtype=np.float64)
-        ex0 = np.minimum(r[:-1, 0], r[1:, 0])
-        ex1 = np.maximum(r[:-1, 0], r[1:, 0])
-        ey0 = np.minimum(r[:-1, 1], r[1:, 1])
-        ey1 = np.maximum(r[:-1, 1], r[1:, 1])
-        overlap = (
-            (c_minlon[:, None] <= ex1[None, :]) & (ex0[None, :] <= c_maxlon[:, None])
-            & (c_minlat[:, None] <= ey1[None, :]) & (ey0[None, :] <= c_maxlat[:, None])
-        ).any(axis=1)
-        full &= ~overlap
+        full &= ~_any_edge_bbox_overlap(c_minlon, c_minlat, c_maxlon, c_maxlat, r)
     for hole in rings[1:]:  # a full cell must not sit inside a hole
         h = np.asarray(hole, dtype=np.float64)
         inside_hole = points_in_ring(corners, h).reshape(-1, 4).any(axis=1)

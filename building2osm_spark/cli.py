@@ -67,7 +67,12 @@ def cmd_merge(args) -> int:
         from .functions.udfs import area_merge_udf, centre_udf
         from .sources.geojson import read_geojson
 
-        raw = read_geojson(spark, args.imports)
+        # conflation operates on polygon footprints (P1): Point features
+        # (buildings without footprints in real reference output) pass
+        # through the read but are not matchable
+        raw = read_geojson(spark, args.imports).filter(
+            F.col("geom_type") == "Polygon"
+        )
         imports = raw.select(
             "ref",
             F.col("geometry")[0].alias("ring"),

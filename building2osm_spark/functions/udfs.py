@@ -66,6 +66,10 @@ def centre_udf(geometry: pd.Series) -> pd.DataFrame:
     building_merge.py:351 uses it for the match bbox)."""
     lons, lats = [], []
     for g in geometry:
+        if g is None or not len(g) or not len(g[0]):
+            lons.append(None)
+            lats.append(None)
+            continue
         cx, cy = G.polygon_centre(_ring(g[0]))
         lons.append(cx)
         lats.append(cy)
@@ -78,6 +82,10 @@ def centroid_udf(geometry: pd.Series) -> pd.DataFrame:
     Polygon geometry."""
     lons, lats = [], []
     for g in geometry:
+        if g is None or not len(g) or not len(g[0]):
+            lons.append(None)
+            lats.append(None)
+            continue
         cx, cy = G.centroid_polygon(_polygon(g))
         lons.append(cx)
         lats.append(cy)
@@ -131,6 +139,9 @@ def wkb_udf(geometry: pd.Series) -> pd.Series:
 
     out = []
     for g in geometry:
+        if g is None:
+            out.append(None)
+            continue
         rings = _polygon(g)
         buf = bytearray()
         buf += struct.pack("<BI", 1, 3)  # little endian, wkbPolygon
@@ -166,6 +177,9 @@ def round7_geometry_udf(geometry: pd.Series) -> pd.Series:
     numpy round = banker's rounding = CPython round."""
     out = []
     for g in geometry:
+        if g is None:
+            out.append(None)
+            continue
         out.append([np.round(_ring(r), 7).tolist() for r in g])
     return pd.Series(out)
 

@@ -292,15 +292,30 @@ def points_in_ring(points: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """
     points = np.asarray(points, dtype=np.float64)
     ring = np.asarray(ring, dtype=np.float64)
+    n_pts, n_edges = len(points), len(ring) - 1
     px = points[:, 0][:, None]             # (N,1)
     py = points[:, 1][:, None]
-    xi, yi = ring[:-1, 0][None, :], ring[:-1, 1][None, :]   # (1,M)
-    xj, yj = ring[1:, 0][None, :], ring[1:, 1][None, :]
-    straddle = (yi > py) != (yj > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        x_cross = (xj - xi) * (py - yi) / (yj - yi) + xi
-    hit = straddle & (px < x_cross)
-    return (hit.sum(axis=1) % 2).astype(bool)
+
+    def crossings(lo: int, hi: int) -> np.ndarray:
+        xi, yi = ring[lo:hi, 0][None, :], ring[lo:hi, 1][None, :]   # (1,m)
+        xj, yj = ring[lo + 1 : hi + 1, 0][None, :], ring[lo + 1 : hi + 1, 1][None, :]
+        straddle = (yi > py) != (yj > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_cross = (xj - xi) * (py - yi) / (yj - yi) + xi
+        return (straddle & (px < x_cross)).sum(axis=1)
+
+    # bound the (N × M) intermediates: the ray-cast count decomposes
+    # exactly over edge chunks (sum of per-chunk crossing counts), so a
+    # 100k-vertex county boundary against thousands of cell corners stays
+    # tens of MB instead of a single multi-GB matrix
+    _MAX_ELEMS = 8_000_000
+    if n_pts * n_edges <= _MAX_ELEMS:
+        return (crossings(0, n_edges) % 2).astype(bool)
+    step = max(1, _MAX_ELEMS // max(n_pts, 1))
+    total = np.zeros(n_pts, dtype=np.int64)
+    for lo in range(0, n_edges, step):
+        total += crossings(lo, min(lo + step, n_edges))
+    return (total % 2).astype(bool)
 
 
 def points_in_polygon(points: np.ndarray, polygon: list[np.ndarray]) -> np.ndarray:

@@ -80,6 +80,11 @@ def assemble_polygon(members: list[dict], ways: dict[int, dict], nodes: dict[int
         elif role == "inner":
             inner.append(way)
 
+    if not outer:
+        # the reference fails loudly here (IndexError on relation_ways[0],
+        # municipality_split.py:318): an inner-only or wayless relation
+        # must not silently promote hole rings to outer rings
+        raise ValueError("no outer way members")
     coords = [
         [(nodes[nid]["lon"], nodes[nid]["lat"]) for nid in ring]
         for ring in stitch_rings(outer)
@@ -150,16 +155,22 @@ def assemble_relations(
             "member_pos",
         )
     )
+    # LEFT/outer joins: a member way absent from `ways` (or a way node
+    # absent from `nodes`) must surface as an assembly error for that
+    # relation — an inner join would silently drop the member and
+    # assemble a valid-looking polygon missing a ring (the reference
+    # fails loudly with a KeyError, municipality_split.py:323)
     with_nodes = member_ways.join(
         ways.select(F.col("id").alias("way_id"), F.col("nodes").alias("node_ids")),
         "way_id",
+        "left",
     )
     node_coords = (
         with_nodes.select(
             "relation_id", "way_id", "role", "member_pos",
-            F.posexplode("node_ids").alias("pos", "node_id"),
+            F.posexplode_outer("node_ids").alias("pos", "node_id"),
         )
-        .join(nodes.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id")
+        .join(nodes.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id", "left")
     )
     regrouped = node_coords.groupBy("relation_id", "way_id", "role", "member_pos").agg(
         F.sort_array(
@@ -172,15 +183,24 @@ def assemble_relations(
         for rid, grp in pdf.groupby("relation_id"):
             grp = grp.sort_values("member_pos")
             ways_d, members, nodes_d = {}, [], {}
-            for _, row in grp.iterrows():
-                node_ids = [int(p["node_id"]) for p in row["pts"]]
-                ways_d[int(row["way_id"])] = {"id": int(row["way_id"]), "nodes": node_ids}
-                members.append(
-                    {"type": "way", "ref": int(row["way_id"]), "role": row["role"] or ""}
-                )
-                for p in row["pts"]:
-                    nodes_d[int(p["node_id"])] = {"lon": p["lon"], "lat": p["lat"]}
             try:
+                for _, row in grp.iterrows():
+                    if any(p["node_id"] is None for p in row["pts"]):
+                        raise ValueError(
+                            f"member way {int(row['way_id'])} missing from ways input"
+                        )
+                    if any(p["lon"] is None or p["lon"] != p["lon"] for p in row["pts"]):
+                        raise ValueError(
+                            f"way {int(row['way_id'])} references nodes missing "
+                            f"from nodes input"
+                        )
+                    node_ids = [int(p["node_id"]) for p in row["pts"]]
+                    ways_d[int(row["way_id"])] = {"id": int(row["way_id"]), "nodes": node_ids}
+                    members.append(
+                        {"type": "way", "ref": int(row["way_id"]), "role": row["role"] or ""}
+                    )
+                    for p in row["pts"]:
+                        nodes_d[int(p["node_id"])] = {"lon": p["lon"], "lat": p["lat"]}
                 geom = assemble_polygon(members, ways_d, nodes_d)
                 if geom["type"] == "Polygon":
                     coords = [[list(p) for p in ring] for ring in geom["coordinates"]]

@@ -41,9 +41,13 @@ def osm_buildings_from_elements(
         )
         eligible = eligible.join(members, "id", "left_anti")
 
+    has_center = "center" in eligible.columns
+    base_cols = [F.col("id").alias("osm_id"), "tags"]
+    if has_center:
+        base_cols.append("center")
     resolved = (
         eligible.select(
-            F.col("id").alias("osm_id"), "tags",
+            *base_cols,
             F.posexplode("nodes").alias("pos", "node_id"),
         )
         .join(
@@ -56,14 +60,25 @@ def osm_buildings_from_elements(
                 lambda s: F.array(s["lon"], s["lat"]),
             ).alias("ring"),
             F.first("tags").alias("tags"),
+            *([F.first("center").alias("center")] if has_center else []),
         )
     )
     geom_wrapped = F.array("ring")  # centre/area UDFs take rings×pts×2
+    # the reference keeps the Overpass `out center` bbox centre when the
+    # response carries one (building_merge.py:429-431) and the vertex-mean
+    # centre only enters via polygon_centre elsewhere — prefer the
+    # element's centre, fall back to the vertex mean
+    if has_center:
+        c_lon = F.coalesce(F.col("center.lon"), centre_udf(geom_wrapped)["lon"])
+        c_lat = F.coalesce(F.col("center.lat"), centre_udf(geom_wrapped)["lat"])
+    else:
+        c_lon = centre_udf(geom_wrapped)["lon"]
+        c_lat = centre_udf(geom_wrapped)["lat"]
     return resolved.select(
         "osm_id",
         "ring",
-        centre_udf(geom_wrapped)["lon"].alias("c_lon"),
-        centre_udf(geom_wrapped)["lat"].alias("c_lat"),
+        c_lon.alias("c_lon"),
+        c_lat.alias("c_lat"),
         area_merge_udf(geom_wrapped).alias("area"),
         tagged_flag(F.col("tags")).alias("tagged"),
         F.col("tags")["ref:bygningsnr"].alias("ref_tag"),

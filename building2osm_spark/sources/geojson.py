@@ -24,18 +24,36 @@ def write_geojson(
     geometry_col: str = "geometry",
     tags_col: str | None = "tags",
     geom_type: str = "Polygon",
+    geom_type_col: str | None = None,
     keep_uppercase: bool = False,
     keep_verify: bool = False,
+    keep_sefrak: bool = False,
 ) -> int:
     """Write a canonical FeatureCollection; returns the feature count.
 
-    Ordering: ascending ref. Coordinates are emitted as-is (rounding to 7
-    decimals happens upstream at the geometry boundary, matching
+    Ordering: ascending ref with a deterministic tiebreak on the
+    serialized geometry (Spark's sort is not stable for duplicate/NULL
+    refs across partition layouts — the byte-compare contract needs a
+    total order). Coordinates are emitted as-is (rounding to 7 decimals
+    happens upstream at the geometry boundary, matching
     building2osm.py:621,1226). UPPERCASE tag keys (debug/verify) are
-    dropped unless keep_uppercase — building2osm.py:1306-1311.
+    dropped unless keep_uppercase — building2osm.py:1306-1311;
+    keep_sefrak reproduces the reference's -original mode (SEFRAK
+    survives the uppercase drop). geom_type_col names a per-row geometry
+    type column (mixed Polygon/MultiPolygon tables); geom_type is the
+    constant fallback.
     """
     cols = [ref_col, geometry_col] + ([tags_col] if tags_col else [])
-    rows = df.select(*cols).orderBy(ref_col).collect()
+    if geom_type_col:
+        cols.append(geom_type_col)
+    rows = df.select(*cols).collect()
+    rows.sort(
+        key=lambda r: (
+            r[ref_col] is None,
+            r[ref_col] or "",
+            json.dumps(r[geometry_col]),
+        )
+    )
     features = []
     for r in rows:
         props = {}
@@ -50,6 +68,7 @@ def write_geojson(
                     or k != k.upper()
                     or k in ("TYPE", "STATUS", "DATE")
                     or (keep_verify and "VERIFY" in k)
+                    or (keep_sefrak and k == "SEFRAK")
                 ):
                     props[k] = v
         props.setdefault("ref:bygningsnr", r[ref_col])
@@ -57,7 +76,7 @@ def write_geojson(
             {
                 "type": "Feature",
                 "geometry": {
-                    "type": geom_type,
+                    "type": r[geom_type_col] if geom_type_col else geom_type,
                     "coordinates": r[geometry_col],
                 },
                 "properties": props,
@@ -71,17 +90,32 @@ def write_geojson(
 
 def read_geojson(spark: SparkSession, path: str) -> DataFrame:
     """FeatureCollection → DataFrame(ref, geometry, geom_type, tags) —
-    the S6 import-file scan (building_merge.py:322-380 input shape)."""
+    the S6 import-file scan (building_merge.py:322-380 input shape).
+
+    The geometry column is Polygon-shaped (rings × points × 2). Real
+    reference output files also contain Point features (buildings without
+    footprints, building2osm.py keeps any non-empty coordinates) and may
+    contain MultiPolygons: Points are wrapped as a 1-vertex ring and
+    MultiPolygons flattened to their rings, with geom_type preserving the
+    original type so consumers can filter (the P1 geometry-type filter) —
+    a hardcoded Polygon depth would crash the whole read on the first
+    Point feature."""
     with open(path, encoding="utf-8") as f:
         data = json.load(f)
     rows = []
     for feat in data["features"]:
         props = feat.get("properties", {}) or {}
+        gtype = feat["geometry"]["type"]
+        coords = feat["geometry"]["coordinates"]
+        if gtype == "Point":
+            coords = [[coords]]
+        elif gtype == "MultiPolygon":
+            coords = [ring for poly in coords for ring in poly]
         rows.append(
             (
                 props.get("ref:bygningsnr"),
-                feat["geometry"]["coordinates"],
-                feat["geometry"]["type"],
+                coords,
+                gtype,
                 {str(k): str(v) for k, v in props.items()},
             )
         )

@@ -8,9 +8,8 @@ passed through; action="modify"/"delete" attributes for the upload flow.
 The output is inherently ONE document, so this is a driver-side writer
 over collected DataFrames — the distributed part of the pipeline ends at
 the DataFrames handed in (engine-internal persistence is Parquet/
-snapshots). Deterministic: elements ordered by id descending within kind
-(new negative ids first, like the reference's append order reversed to a
-canonical sort).
+snapshots). Deterministic: elements ordered by id ASCENDING within kind —
+new negative ids first, then existing positive ids.
 """
 
 from __future__ import annotations

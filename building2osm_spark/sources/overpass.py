@@ -45,7 +45,10 @@ def read_overpass_json(spark: SparkSession, path_glob: str) -> DataFrame:
 def split_elements(elements: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(nodes, ways, relations) in the shapes osm_load expects."""
     nodes = elements.filter(F.col("type") == "node").select("id", "lon", "lat", "tags")
-    ways = elements.filter(F.col("type") == "way").select("id", "nodes", "tags")
+    # keep the Overpass-computed `center` (bbox centre from `out center`):
+    # the reference uses it as the building centre when present
+    # (building_merge.py:429-431)
+    ways = elements.filter(F.col("type") == "way").select("id", "nodes", "tags", "center")
     relations = elements.filter(F.col("type") == "relation").select(
         "id", "members", "tags"
     )
