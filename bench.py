@@ -35,6 +35,29 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BBOX = (10.60, 59.85, 11.00, 60.05)
 
 
+def _fixture_tag() -> str:
+    """Content tag baked into every /tmp fixture path: the cached parquet
+    is only reused while the generators that produced it are unchanged —
+    otherwise recall-evidence counts (found == planted etc.) would be
+    asserted against a stale distribution with no warning."""
+    import hashlib
+
+    import building2osm_spark.sources.fixtures as FX
+
+    h = hashlib.md5()
+    for path in (FX.__file__, os.path.abspath(__file__)):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:8]
+
+
+FIXTURE_TAG = _fixture_tag()
+
+
+def bench_path(name: str) -> str:
+    return f"/tmp/bench_{name}_{FIXTURE_TAG}.parquet"
+
+
 def synthetic_points(spark, n: int, hot_frac_pct: int = 20):
     """Image-location table rows, generated JVM-side: ~hot_frac_pct% of
     points concentrate in one ~500 m hot spot (Oslo-style skew)."""
@@ -57,7 +80,7 @@ def points_table(spark, n: int):
     from an on-disk table is the real workload shape — timing an inline
     generator instead lets Catalyst rewrite the benchmark under you
     (measured both ways during tuning; see BASELINE.md)."""
-    path = f"/tmp/bench_points_{n}.parquet"
+    path = bench_path(f"points_{n}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synthetic_points(spark, n).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -304,7 +327,7 @@ def main() -> None:
     flagship_sec = insession_sec
     if not args.no_scaling:
         for _ in range(2):
-            flagship_sec = min(flagship_sec, _fresh_run("pip", CPUS, n_flagship))
+            flagship_sec = min(flagship_sec, _fresh_run("pip", args.cores, n_flagship))
     timings["pip_tile_assign_16m"] = round(flagship_sec, 3)
     timings["pip_tile_assign_16m_insession"] = round(insession_sec, 3)
 
@@ -318,7 +341,7 @@ def main() -> None:
             conflation_pdfs,
         )
 
-        osm_p, imp_p = "/tmp/bench_osm_8k.parquet", "/tmp/bench_imp_8k.parquet"
+        osm_p, imp_p = bench_path("osm_8k"), bench_path("imp_8k")
         if not os.path.exists(os.path.join(osm_p, "_SUCCESS")):
             osm_pdf, import_pdf = conflation_pdfs(8000)
             spark.createDataFrame(osm_pdf, schema=OSM_CONFLATE_SCHEMA).write.mode(
@@ -343,8 +366,8 @@ def main() -> None:
             city_conflation_pdfs,
         )
 
-        osm_p = "/tmp/bench_osm_city100k.parquet"
-        imp_p = "/tmp/bench_imp_city100k.parquet"
+        osm_p = bench_path("osm_city100k")
+        imp_p = bench_path("imp_city100k")
         if not os.path.exists(os.path.join(osm_p, "_SUCCESS")):
             osm_pdf, import_pdf = city_conflation_pdfs(100_000, urban_frac=0.2)
             spark.createDataFrame(osm_pdf, schema=OSM_CONFLATE_SCHEMA).repartition(32).write.mode(
@@ -364,8 +387,8 @@ def main() -> None:
         from building2osm_spark.operators.conflate import conflate
         from building2osm_spark.sources.fixtures import distributed_city_conflation
 
-        osm_p = "/tmp/bench_osm_city1m.parquet"
-        imp_p = "/tmp/bench_imp_city1m.parquet"
+        osm_p = bench_path("osm_city1m")
+        imp_p = bench_path("imp_city1m")
         if not os.path.exists(os.path.join(osm_p, "_SUCCESS")):
             osm, imp = distributed_city_conflation(spark, 1_000_000)
             osm.write.mode("overwrite").parquet(osm_p)
@@ -395,7 +418,7 @@ def main() -> None:
         from building2osm_spark.operators import dedupe as DDop
         from building2osm_spark.sources.fixtures import distributed_documents
 
-        path = "/tmp/bench_docs_500k.parquet"
+        path = bench_path("docs_500k")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             distributed_documents(spark, 500_000).write.mode("overwrite").parquet(path)
         docs = spark.read.parquet(path)
@@ -415,9 +438,9 @@ def main() -> None:
         from building2osm_spark.operators import similarity as Sim
         from building2osm_spark.sources.fixtures import distributed_embeddings
 
-        emb_p = "/tmp/bench_emb_500k.parquet"
-        idx_p = "/tmp/bench_emb_500k_ivf.parquet"
-        cent_p = "/tmp/bench_emb_500k_centroids.npy"
+        emb_p = bench_path("emb_500k")
+        idx_p = bench_path("emb_500k_ivf")
+        cent_p = bench_path("emb_500k_centroids") + ".npy"
         if not os.path.exists(os.path.join(emb_p, "_SUCCESS")):
             distributed_embeddings(spark, 500_000).write.mode("overwrite").parquet(emb_p)
         corpus = spark.read.parquet(emb_p).select(
@@ -484,7 +507,7 @@ def main() -> None:
         from building2osm_spark.sources.fixtures import distributed_image_near_dups
 
         n_imgs, dup_every = 500_000, 10
-        path = f"/tmp/bench_imgs_nd_{n_imgs}.parquet"
+        path = bench_path(f"imgs_nd_{n_imgs}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             distributed_image_near_dups(spark, n_imgs, dup_every=dup_every).write.mode(
                 "overwrite").parquet(path)
@@ -509,7 +532,7 @@ def main() -> None:
         from building2osm_spark.operators import dedupe as DDop
         from building2osm_spark.sources.fixtures import distributed_images
 
-        path = "/tmp/bench_imgs_dense_100k.parquet"
+        path = bench_path("imgs_dense_100k")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             distributed_images(spark, 100_000).write.mode("overwrite").parquet(path)
         sims = spark.read.parquet(path).select(
@@ -544,7 +567,7 @@ def main() -> None:
             building_geometries,
         )
 
-        path = "/tmp/bench_rect100k.parquet"
+        path = bench_path("rect100k")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             spark.createDataFrame(
                 building_geometries(100_000),

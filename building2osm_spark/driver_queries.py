@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .constants import EARTH_RADIUS, EARTH_RADIUS_MERGE_AREA
+from .functions import columns as COL
 from .functions.columns import (
     bearing_col,
     building_retag_cadastral_col,
@@ -972,40 +973,56 @@ SELECT v[1] AS vlon, v[2] AS vlat, count(*) AS uses FROM v GROUP BY 1, 2
 """
 
 
+# bbox edges = EXACT derived-point coordinates (the residue-250/747 lon
+# and lat values), so boundary rows EXIST and the three conventions
+# return three different counts — a swapped convention implementation
+# cannot pass. With round-number edges no derived point ever sits on an
+# edge (min residue distance ~2.4e-5) and the counts degenerate to one.
+# NB each engine gets edges computed with ITS OWN point arithmetic:
+# Spark's _points multiplies by BBOX[2]-BBOX[0] (0.40000000000000036, a
+# python-subtraction double) while the oracle SQL multiplies by the
+# literal 0.4 — the engines' point coordinates differ at the last ulp,
+# so sharing one edge literal flags different rows as boundary.
+_BBOX_MODES = (
+    10.60 + ((250 + 0.37) / 997.0) * (BBOX[2] - BBOX[0]),  # lon residue 250
+    59.85 + ((250 + 0.37) / 997.0) * (BBOX[3] - BBOX[1]),  # lat residue 250
+    10.60 + ((747 + 0.37) / 997.0) * (BBOX[2] - BBOX[0]),  # lon residue 747
+    59.85 + ((747 + 0.37) / 997.0) * (BBOX[3] - BBOX[1]),  # lat residue 747
+)
+
+
 def q_bbox_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 — the three bbox conventions (closed ≤≤, strict <<, half-open ≤<)
-    counted over the derived point cloud; boundary-safe margins are NOT
-    used here on purpose: conventions must disagree on boundary rows for
-    the query to discriminate them, so the bbox edges sit on exact
-    derived-point coordinates."""
+    counted over the derived point cloud, via the engine's Column
+    predicates (functions.columns.in_bbox_*_col, twins of geom.in_bbox_*)."""
     pts = _points(spark, sf_dir)
-    lo_lon, hi_lon = 10.70, 10.90
-    lo_lat, hi_lat = 59.90, 60.00
-    closed = (
-        (F.col("lon") >= lo_lon) & (F.col("lon") <= hi_lon)
-        & (F.col("lat") >= lo_lat) & (F.col("lat") <= hi_lat)
-    )
-    strict = (
-        (F.col("lon") > lo_lon) & (F.col("lon") < hi_lon)
-        & (F.col("lat") > lo_lat) & (F.col("lat") < hi_lat)
-    )
-    half = (
-        (F.col("lon") >= lo_lon) & (F.col("lon") < hi_lon)
-        & (F.col("lat") >= lo_lat) & (F.col("lat") < hi_lat)
-    )
+    lon, lat = F.col("lon"), F.col("lat")
     return pts.agg(
-        F.sum(closed.cast("long")).alias("n_closed"),
-        F.sum(strict.cast("long")).alias("n_strict"),
-        F.sum(half.cast("long")).alias("n_half_open"),
+        F.sum(COL.in_bbox_closed_col(lon, lat, _BBOX_MODES).cast("long")).alias("n_closed"),
+        F.sum(COL.in_bbox_strict_col(lon, lat, _BBOX_MODES).cast("long")).alias("n_strict"),
+        F.sum(COL.in_bbox_half_open_col(lon, lat, _BBOX_MODES).cast("long")).alias(
+            "n_half_open"
+        ),
     )
 
+
+# The oracle computes its OWN edge values with the identical expression
+# shape the point cloud uses (residue constant substituted): DuckDB's
+# literal arithmetic lands 1 ulp away from the Python/JVM double literal
+# for these edges, so an embedded repr() literal would miss DuckDB's own
+# boundary rows — each engine must compare its points against edges it
+# computed itself.
+_EDGE_SQL_LON = "(10.60 + ((({r} + 0.37) / 997.0) * 0.4))"
+_EDGE_SQL_LAT = "(59.85 + ((({r} + 0.37) / 997.0) * 0.2))"
+_LO_LON, _HI_LON = _EDGE_SQL_LON.format(r=250), _EDGE_SQL_LON.format(r=747)
+_LO_LAT, _HI_LAT = _EDGE_SQL_LAT.format(r=250), _EDGE_SQL_LAT.format(r=747)
 
 ORACLE_BBOX_MODES = f"""
 WITH p AS ({_POINTS_SQL})
 SELECT
-  CAST(sum(CASE WHEN lon >= 10.70 AND lon <= 10.90 AND lat >= 59.90 AND lat <= 60.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
-  CAST(sum(CASE WHEN lon >  10.70 AND lon <  10.90 AND lat >  59.90 AND lat <  60.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_strict,
-  CAST(sum(CASE WHEN lon >= 10.70 AND lon <  10.90 AND lat >= 59.90 AND lat <  60.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_half_open
+  CAST(sum(CASE WHEN lon >= {_LO_LON} AND lon <= {_HI_LON} AND lat >= {_LO_LAT} AND lat <= {_HI_LAT} THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+  CAST(sum(CASE WHEN lon >  {_LO_LON} AND lon <  {_HI_LON} AND lat >  {_LO_LAT} AND lat <  {_HI_LAT} THEN 1 ELSE 0 END) AS BIGINT) AS n_strict,
+  CAST(sum(CASE WHEN lon >= {_LO_LON} AND lon <  {_HI_LON} AND lat >= {_LO_LAT} AND lat <  {_HI_LAT} THEN 1 ELSE 0 END) AS BIGINT) AS n_half_open
 FROM p
 """
 
@@ -1071,13 +1088,23 @@ def q_osm_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("tags").alias("tags"),
         )
     )
-    c_lon, c_lat = polygon_centre_cols(F.col("ring"))
+    # centre emitted as (vertex sum, body count) rather than the rounded
+    # mean — the q_polygon_metrics pattern: means of grid coordinates land
+    # on rounding half-steps where JVM and DuckDB round() diverge (the
+    # committed fixture's 1e-4 grid happens to terminate early, but a
+    # regenerated fixture with 7-decimal coordinates would mismatch on
+    # ~1/4 of square buildings); sums stay on-grid and round-safe
+    body = F.slice(F.col("ring"), 1, F.size("ring") - 1)
     return resolved.select(
         "osm_id",
         F.size("ring").alias("n_nodes"),
         polygon_area_col(F.col("ring"), EARTH_RADIUS_MERGE_AREA).alias("area"),
-        F.round(c_lon, 7).alias("c_lon"),
-        F.round(c_lat, 7).alias("c_lat"),
+        F.round(
+            F.aggregate(body, F.lit(0.0), lambda acc, p: acc + p[0]), 7
+        ).alias("lon_sum"),
+        F.round(
+            F.aggregate(body, F.lit(0.0), lambda acc, p: acc + p[1]), 7
+        ).alias("lat_sum"),
         tagged_flag(F.col("tags")).alias("tagged"),
         F.col("tags")["ref:bygningsnr"].alias("ref_tag"),
     )
@@ -1130,9 +1157,9 @@ SELECT osm_id,
     ), (acc, x) -> acc + x) / 2.0) AS BIGINT)
   ELSE 0 END AS area,
   round(list_reduce([0.0::DOUBLE] || list_transform(range(1, n), i -> ring[i][1]),
-        (a, x) -> a + x) / (n - 1), 7) AS c_lon,
+        (a, x) -> a + x), 7) AS lon_sum,
   round(list_reduce([0.0::DOUBLE] || list_transform(range(1, n), i -> ring[i][2]),
-        (a, x) -> a + x) / (n - 1), 7) AS c_lat,
+        (a, x) -> a + x), 7) AS lat_sum,
   len(list_filter(map_keys(tags),
       k -> k != 'building' AND k != 'source' AND NOT contains(k, 'addr:'))) > 0
     AS tagged,

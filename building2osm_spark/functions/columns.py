@@ -224,6 +224,25 @@ def round7(col: Column) -> Column:
     return F.round(col, 7)
 
 
+def in_bbox_closed_col(lon: Column, lat: Column, bbox) -> Column:
+    """Column twin of geom.in_bbox_closed (≤ on all four edges)."""
+    return (
+        (lon >= bbox[0]) & (lon <= bbox[2]) & (lat >= bbox[1]) & (lat <= bbox[3])
+    )
+
+
+def in_bbox_strict_col(lon: Column, lat: Column, bbox) -> Column:
+    """Column twin of geom.in_bbox_strict (< on all four edges —
+    building_merge.py's candidate prefilter convention)."""
+    return (lon > bbox[0]) & (lon < bbox[2]) & (lat > bbox[1]) & (lat < bbox[3])
+
+
+def in_bbox_half_open_col(lon: Column, lat: Column, bbox) -> Column:
+    """Column twin of geom.in_bbox_half_open (≤ lower edges, < upper —
+    the tiling convention: every point belongs to exactly one tile)."""
+    return (lon >= bbox[0]) & (lon < bbox[2]) & (lat >= bbox[1]) & (lat < bbox[3])
+
+
 def tagged_flag_col(tags: Column) -> Column:
     """True when any tag key is beyond building/source/addr:* —
     building_merge.py:444-448."""

@@ -113,8 +113,17 @@ def polygon_area(ring: np.ndarray, radius: float = EARTH_RADIUS) -> int:
     lat_dist = np.pi * radius / 180.0
     y = ring[:, 1] * lat_dist
     x = ring[:, 0] * lat_dist * np.cos(ring[:, 1] * RAD)
-    # sum of (x[i+1]-x[i]) * (y[i+1]+y[i]), matching the reference's loop order
-    area = float(np.sum((x[1:] - x[:-1]) * (y[1:] + y[:-1])))
+    # sequential left fold over the edge terms, NOT np.sum: numpy's
+    # pairwise/unrolled accumulation orders additions differently from the
+    # reference's `area += ...` loop (building2osm.py:131-133); the int
+    # truncation amplifies a last-ulp difference to an off-by-one m² that
+    # would also disagree with columns.polygon_area_col's sequential
+    # Catalyst fold. The term array stays vectorized; only the reduction
+    # is ordered.
+    terms = (x[1:] - x[:-1]) * (y[1:] + y[:-1])
+    area = 0.0
+    for t in terms.tolist():
+        area += t
     return int(area / 2.0)
 
 

@@ -37,6 +37,7 @@ Known reference quirks preserved deliberately:
 from __future__ import annotations
 
 import math
+import statistics
 from dataclasses import dataclass, field
 
 from .constants import (
@@ -96,7 +97,11 @@ def _line_distance(s1: Node, s2: Node, p3: Node) -> float:
         x4, y4 = x2, y2
     else:
         x4, y4 = x1 + param * dx, y1 + param * dy
-    return 6371000.0 * math.hypot(x4 - x3, y4 - y3)
+    # sqrt(x*x + y*y), NOT math.hypot: the reference (building2osm.py:256)
+    # uses the sqrt form and hypot differs by 1 ulp in ~16% of cases —
+    # enough to flip RDP's `d > dmax` vertex choice
+    x, y = x4 - x3, y4 - y3
+    return 6371000.0 * math.sqrt(x * x + y * y)
 
 
 def _rotate(axis: Node, angle_deg: float, p: Node) -> Node:
@@ -379,8 +384,13 @@ def rectify_group(buildings_in: list[list[Ring]]) -> RectifyResult:
     for w in walls:
         xs = [new_node[n][0] for n in w.nodes]
         ys = [new_node[n][1] for n in w.nodes]
-        mx = sum(xs) / len(xs)
-        my = sum(ys) / len(ys)
+        # statistics.mean (exact Fraction-based), NOT sum/len: the
+        # reference (building2osm.py:1212-1213) uses statistics.mean and
+        # the two differ by 1 ulp for ~29% of coordinate lists — the
+        # snapped wall coordinate feeds round(·, 7) and the relocation
+        # abort, where an ulp flips output bytes
+        mx = statistics.mean(xs)
+        my = statistics.mean(ys)
         for n in w.nodes:
             if w.axis == 1:
                 new_node[n] = (new_node[n][0], my)

@@ -177,3 +177,34 @@ def test_native_polygon_scalars_match_numpy(spark):
         np.array([[10.0, 59.0]] * 3), np.array([[10.5, 59.3], [9.7, 58.8], [10.0, 59.5]])
     )
     assert np.allclose(got_b, want_b, atol=1e-9)
+
+
+def test_in_bbox_col_twins_match_numpy(spark):
+    """Column bbox predicates == geom numpy forms, including rows exactly
+    ON each edge (the P5 discrimination cases)."""
+    import numpy as np
+
+    from building2osm_spark import geom as G
+    from building2osm_spark.functions import columns as COL
+
+    bbox = (10.0, 59.0, 11.0, 60.0)
+    pts = [
+        (10.0, 59.5), (11.0, 59.5), (10.5, 59.0), (10.5, 60.0),  # edges
+        (10.5, 59.5), (9.9, 59.5), (11.1, 60.1), (10.0, 59.0), (11.0, 60.0),
+    ]
+    arr = np.asarray(pts)
+    want = {
+        "closed": G.in_bbox_closed(arr, bbox),
+        "strict": G.in_bbox_strict(arr, bbox),
+        "half": G.in_bbox_half_open(arr, bbox),
+    }
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = df.select(
+        COL.in_bbox_closed_col(F.col("lon"), F.col("lat"), bbox).alias("closed"),
+        COL.in_bbox_strict_col(F.col("lon"), F.col("lat"), bbox).alias("strict"),
+        COL.in_bbox_half_open_col(F.col("lon"), F.col("lat"), bbox).alias("half"),
+    ).collect()
+    for name in ("closed", "strict", "half"):
+        assert [bool(r[name]) for r in got] == list(map(bool, want[name])), name
+    # the conventions genuinely differ on the edge rows
+    assert [bool(r["closed"]) for r in got] != [bool(r["strict"]) for r in got]
