@@ -57,3 +57,24 @@ def test_cli_split_with_resume(spark, tmp_path):
 
     store = SnapshotStore(snap)
     assert store.read(spark, "split").count() > 0
+
+
+def test_cli_merge_writes_merged_actions(spark, tmp_path):
+    """merge must produce the building_merge output surface: merged.parquet
+    with action='modify' rows (merged tag maps) for matches and
+    action='new' rows for unmatched imports."""
+    osm_pdf, import_pdf = FX.conflation_pdfs(32)
+    osm_p = str(tmp_path / "osm2.parquet")
+    imp_p = str(tmp_path / "imp2.parquet")
+    spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA).write.parquet(osm_p)
+    spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA).write.parquet(imp_p)
+    out = str(tmp_path / "out2")
+    rc = cli.main(["--cores", "4", "merge", "--osm", osm_p, "--imports", imp_p, "--out", out])
+    assert rc == 0
+    merged = spark.read.parquet(os.path.join(out, "merged.parquet"))
+    actions = {r["action"] for r in merged.select("action").distinct().collect()}
+    assert "modify" in actions
+    n_imports = spark.read.parquet(imp_p).count()
+    assert merged.count() == n_imports  # every import resolves to modify or new
+    mod = merged.filter("action = 'modify'").first()
+    assert mod["tags"].get("building")  # merged tag map carries building

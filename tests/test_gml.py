@@ -175,3 +175,25 @@ def test_district_gml_surface_parse(spark, tmp_path):
     lon, lat = r["geometry"][0][0][0]
     assert lon == pytest.approx(lon0, abs=1e-7)
     assert lat == pytest.approx(lat0, abs=1e-7)
+
+
+def test_zip_skips_non_xml_members(spark, tmp_path):
+    """A user-rezipped archive with folder entries / .xsd noise must parse
+    the GML members and ignore the rest instead of failing the task."""
+    lat0, lon0 = 59.912345, 10.752345
+    e, n = UTM.latlon_to_utm(np.array([lat0]), np.array([lon0]), 33)
+    xml = _cadastral_xml(
+        [{"ref": "99", "x": float(e[0]), "y": float(n[0]), "type": "181",
+          "status": "RA", "date": "2021-01-01"}]
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("data/", "")                       # directory entry
+        zf.writestr("schema.xsd", "<xs:schema/>")      # non-feature XML-ish
+        zf.writestr("__MACOSX/._junk", b"\x00\x01")    # binary noise
+        zf.writestr("data/buildings.gml", xml)
+    files = spark.createDataFrame(
+        [("archive.zip", bytearray(buf.getvalue()))], "path string, content binary"
+    )
+    rows = GML.parse_cadastral_gml(files).collect()
+    assert len(rows) == 1 and rows[0]["ref"] == "99"

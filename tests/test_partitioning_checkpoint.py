@@ -214,3 +214,42 @@ def test_geojson_roundtrip(spark, tmp_path):
     back = read_geojson(spark, path)
     assert back.count() == 2
     assert set(back.columns) == {"ref", "geometry", "geom_type", "tags"}
+
+
+def test_geojson_reads_point_and_multipolygon_features(spark, tmp_path):
+    """Real reference output contains Point features (buildings without
+    footprints) and may contain MultiPolygons — the read must normalize
+    them into the Polygon-shaped column, not crash on schema depth."""
+    import json
+
+    from building2osm_spark.sources.geojson import read_geojson
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [10.75, 59.91]},
+             "properties": {"ref:bygningsnr": "1"}},
+            {"type": "Feature",
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[10.7, 59.9], [10.71, 59.9],
+                                           [10.71, 59.91], [10.7, 59.9]]]},
+             "properties": {"ref:bygningsnr": "2"}},
+            {"type": "Feature",
+             "geometry": {"type": "MultiPolygon",
+                          "coordinates": [[[[10.1, 59.1], [10.2, 59.1],
+                                            [10.2, 59.2], [10.1, 59.1]]],
+                                          [[[10.3, 59.3], [10.4, 59.3],
+                                            [10.4, 59.4], [10.3, 59.3]]]]},
+             "properties": {"ref:bygningsnr": "3"}},
+        ],
+    }
+    path = str(tmp_path / "mixed.geojson")
+    with open(path, "w") as f:
+        json.dump(fc, f)
+    rows = {r["ref"]: r for r in read_geojson(spark, path).collect()}
+    assert rows["1"]["geom_type"] == "Point"
+    assert rows["1"]["geometry"] == [[[10.75, 59.91]]]
+    assert rows["2"]["geom_type"] == "Polygon" and len(rows["2"]["geometry"]) == 1
+    assert rows["3"]["geom_type"] == "MultiPolygon"
+    assert len(rows["3"]["geometry"]) == 2  # two flattened rings
