@@ -794,6 +794,50 @@ FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def q_ngram_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram duplication triage (the exact-substring
+    dedup signal): per doc, the fraction of distinct 8-gram hashes that
+    occur in ≥2 documents, over the corpus + 30 planted near-dups."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    return DD.cross_doc_ngram_profile(docs.unionByName(dup), ngram=8)
+
+
+ORACLE_NGRAM_DUP = f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' tailword' AS text
+  FROM documents WHERE doc_id < 30
+),
+words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM unioned
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(CAST('0x' || substring(md5(g), 1, 15) AS UBIGINT)
+              % {DD._MERSENNE} AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= 8
+                  THEN list_transform(range(1, len(ws) - 6),
+                       i -> array_to_string(list_slice(ws, i, i + 7), ' '))
+                  ELSE [array_to_string(ws, ' ')] END) AS g
+    FROM words)
+),
+counts AS (SELECT h, count(*) AS docs FROM grams GROUP BY h)
+SELECT g.doc_id,
+  CAST(count(*) AS BIGINT) AS n_ngrams,
+  CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+  sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) / count(*) AS dup_fraction
+FROM grams g JOIN counts c USING (h)
+GROUP BY g.doc_id
+"""
+
+
 ORACLE_NGRAM = _dedup_shingle_ctes(" tailword") + """,
 sets AS (
   SELECT doc_id, list(DISTINCT sh) AS shs FROM shingles GROUP BY doc_id
@@ -1617,6 +1661,7 @@ QUERIES = {
     "building_types_parse": q_building_types_parse,
     "rotate_points": q_rotate_points,
     "minhash_near_dups": q_minhash_near_dups,
+    "ngram_dup_profile": q_ngram_dup_profile,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_verify": q_ngram_jaccard_verify,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1656,6 +1701,7 @@ ORACLES = {
     "progress_metrics": ORACLE_PROGRESS,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "minhash_near_dups": ORACLE_MINHASH,
+    "ngram_dup_profile": ORACLE_NGRAM_DUP,
     "simhash_pairs": ORACLE_SIMHASH,
     "ngram_jaccard_verify": ORACLE_NGRAM,
     # IVF with nprobe = n_centroids probes the full corpus → exact: the

@@ -259,6 +259,52 @@ def ngram_jaccard(
     return joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
 
 
+def cross_doc_ngram_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """(id, n_ngrams, dup_ngrams, dup_fraction) — the fraction of a
+    document's DISTINCT word n-grams that also occur in at least one
+    OTHER document: the cross-document duplication signal used to triage
+    exact-substring dedup at training-data scale (a high fraction marks
+    boilerplate/templated/near-copied text that MinHash's whole-document
+    Jaccard can miss when only a passage is shared).
+
+    Scale shape: explode per-doc distinct n-gram hashes (16-byte rows) →
+    per-hash doc counts (map-side combined groupBy) → join the counts
+    back → one aggregation per doc. Both shuffles carry (hash[, id])
+    only — document text never leaves the scan stage. With
+    base_hash='md5' the whole computation has an exact DuckDB oracle
+    (the _base60 cross-engine hash)."""
+    df = df.filter(F.col(text_col).isNotNull())
+    # distinct at the HASH level (doc_id, h) — the map-side-combinable
+    # shape (8-byte keys) and exactly what the SQL oracle computes
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), ngram)).alias("__g"),
+        )
+        .select(id_col, _base_hash(F.col("__g"), base_hash).alias("__h"))
+        .distinct()
+    )
+    counts = grams.groupBy("__h").agg(F.count("*").alias("__docs"))
+    return (
+        grams.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum((F.col("__docs") >= 2).cast("long")).alias("dup_ngrams"),
+        )
+        # raw IEEE division of the two longs — bit-identical across
+        # engines, no rounding needed (rounding would reintroduce the
+        # JVM shortest-repr vs exact-value divergence)
+        .withColumn("dup_fraction", F.col("dup_ngrams") / F.col("n_ngrams"))
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -66,6 +66,19 @@ def test_simhash_identical_and_near(spark, docs):
         assert got.get((i, i + 200000)) == 0
 
 
+def test_cross_doc_ngram_profile(spark, docs):
+    """Exact duplicates share every 8-gram (fraction 1.0); near-dups (one
+    appended word) share all but the tail windows."""
+    prof = D.cross_doc_ngram_profile(docs, ngram=8)
+    rows = {r["doc_id"]: r for r in prof.collect()}
+    for i in range(10):
+        assert rows[i]["dup_fraction"] == 1.0
+        assert rows[i + 200000]["dup_fraction"] == 1.0
+    for i in range(20):
+        assert rows[i + 100000]["dup_fraction"] > 0.8
+        assert rows[i + 100000]["dup_ngrams"] < rows[i + 100000]["n_ngrams"]
+
+
 def test_simhash_nested_equals_single_level(spark, docs):
     """The two-level pigeonhole (nested=True) must return exactly the
     single-level pair set — recall is provably identical; only the
