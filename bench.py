@@ -39,23 +39,28 @@ def _fixture_tag() -> str:
     """Content tag baked into every /tmp fixture path: the cached parquet
     is only reused while the generators that produced it are unchanged —
     otherwise recall-evidence counts (found == planted etc.) would be
-    asserted against a stale distribution with no warning."""
+    asserted against a stale distribution with no warning. Hashes the
+    fixtures module plus the one bench-local generator (not all of
+    bench.py — editing a timing harness must not invalidate corpora)."""
     import hashlib
+    import inspect
 
     import building2osm_spark.sources.fixtures as FX
 
     h = hashlib.md5()
-    for path in (FX.__file__, os.path.abspath(__file__)):
-        with open(path, "rb") as f:
-            h.update(f.read())
+    with open(FX.__file__, "rb") as f:
+        h.update(f.read())
+    h.update(inspect.getsource(synthetic_points).encode())
     return h.hexdigest()[:8]
 
 
-FIXTURE_TAG = _fixture_tag()
+_TAG_CACHE: list[str] = []
 
 
 def bench_path(name: str) -> str:
-    return f"/tmp/bench_{name}_{FIXTURE_TAG}.parquet"
+    if not _TAG_CACHE:  # lazy: _fixture_tag reads defs below this line
+        _TAG_CACHE.append(_fixture_tag())
+    return f"/tmp/bench_{name}_{_TAG_CACHE[0]}.parquet"
 
 
 def synthetic_points(spark, n: int, hot_frac_pct: int = 20):
@@ -495,6 +500,60 @@ def main() -> None:
         return n
 
     timed("overlay_4m_x_20k", overlay_4m)
+
+    def image_assign_500k():
+        # north-star shape end-to-end: the ACTUAL input_hint table
+        # (image_id, bytes, w, h, fmt, caption, phash — ~2.4 GB of binary
+        # payload on disk) → derive location from image_id (Arrow UDF) →
+        # broadcast cover join onto the district grid. Parquet column
+        # pruning reads ONLY image_id; the binary column never leaves
+        # disk (plan-asserted in tests/test_pipeline_ops.py).
+        from building2osm_spark.operators.cover_join import assign_points_to_polygons
+        from building2osm_spark.plans.pipeline import with_location
+        from building2osm_spark.sources.fixtures import (
+            SUBDIVISIONS_SCHEMA,
+            distributed_image_near_dups,
+            subdivisions_pdf,
+        )
+
+        path = bench_path("imgs_nd_500000")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            distributed_image_near_dups(spark, 500_000, dup_every=10).write.mode(
+                "overwrite").parquet(path)
+        located = with_location(spark.read.parquet(path).select("image_id"))
+        subs = spark.createDataFrame(subdivisions_pdf(4, 4), schema=SUBDIVISIONS_SCHEMA)
+        n = assign_points_to_polygons(
+            located.select("image_id", "lon", "lat"),
+            subs.select(F.col("name").alias("poly_id"), "geometry"),
+            multipolygon=True, broadcast=True, refine="native",
+        ).count()
+        extras["image_assign_500k_assigned"] = n
+        return n
+
+    timed("image_assign_500k", image_assign_500k)
+
+    def ngram_dup_500k():
+        # exact-substring dedup triage at corpus scale: per-doc distinct
+        # 8-gram hashes -> per-hash doc counts -> re-join; both shuffles
+        # carry 8-16 byte keys (text never leaves the scan stage). The
+        # wall is the ~51M-distinct-key aggregation, so the bench runs the
+        # mod-8 deterministic hash sample (same subset in every doc —
+        # shared grams stay shared; dup_fraction is the unbiased
+        # estimator); the EXACT path is what the driver oracle checks.
+        from building2osm_spark.operators import dedupe as DDop
+        from building2osm_spark.sources.fixtures import distributed_documents
+
+        path = bench_path("docs_500k")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            distributed_documents(spark, 500_000).write.mode("overwrite").parquet(path)
+        prof = DDop.cross_doc_ngram_profile(
+            spark.read.parquet(path), ngram=8, base_hash="xxhash64", sample_mod=8
+        )
+        n = prof.filter(F.col("dup_fraction") > 0.5).count()
+        extras["ngram_dup_500k_flagged"] = n
+        return n
+
+    timed("ngram_dup_500k", ngram_dup_500k)
 
     def phash_dedup_500k():
         # image near-dup detection at corpus scale: 500k images (textured

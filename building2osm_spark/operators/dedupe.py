@@ -83,6 +83,46 @@ def _base_hash(col, base_hash: str) -> F.Column:
     raise ValueError(f"unknown base_hash {base_hash!r}")
 
 
+def _shingle_bases(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int, base_hash: str
+) -> DataFrame:
+    """(id, __bases array<long>) — per-document k-word shingle base hashes
+    mod the Mersenne prime. base_hash='md5' hashes the literal shingle
+    STRINGS (bit-reproducible in ANSI SQL); 'xxhash64' never materializes
+    strings — each word hashes once, a shingle's base is the polynomial of
+    its k word hashes (building 8-word substrings costs ~10× everything
+    else combined at corpus scale). NULL text is dropped."""
+    df = df.filter(F.col(text_col).isNotNull())
+    if base_hash == "xxhash64":
+        hs = F.expr(
+            f"transform(split(lower({text_col}), '\\\\s+'),"
+            f" w -> abs(xxhash64(w)) % {_MERSENNE})"
+        )
+        # unrolled element_at polynomial (identical values to the
+        # aggregate(slice(...)) fold it replaces — same fold order from
+        # acc=0): slice() allocated a fresh k-array per shingle, pure
+        # per-shingle allocation churn on the hottest expression
+        poly = "0L"
+        for j in range(shingle_k):
+            poly = f"({poly} * 1000003 + element_at(__hs, i + {j + 1})) % {_MERSENNE}"
+        bases = F.expr(
+            f"CASE WHEN size(__hs) >= {shingle_k} THEN"
+            f" transform(sequence(0, size(__hs) - {shingle_k}), i -> {poly})"
+            f" ELSE array(aggregate(__hs, 0L,"
+            f" (acc, x) -> (acc * 1000003 + x) % {_MERSENNE})) END"
+        )
+        return df.select(F.col(id_col), hs.alias("__hs")).select(
+            id_col, bases.alias("__bases")
+        )
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_k),
+            lambda s: _base_hash(s, base_hash),
+        ).alias("__bases"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -113,39 +153,10 @@ def minhash_signatures(
     identity is collision-equivalent, values differ from the md5 form.
     """
     a, b = _hash_params(n_hashes, seed)
-    # NULL text is no document: drop it up front (the md5 shingle builder
-    # would otherwise hash NULL as '' via concat_ws's null-skipping and
-    # pair every NULL doc with every empty doc)
-    df = df.filter(F.col(text_col).isNotNull())
-    if base_hash == "xxhash64":
-        hs = F.expr(
-            f"transform(split(lower({text_col}), '\\\\s+'),"
-            f" w -> abs(xxhash64(w)) % {_MERSENNE})"
-        )
-        # unrolled element_at polynomial (identical values to the
-        # aggregate(slice(...)) fold it replaces — same fold order from
-        # acc=0): slice() allocated a fresh k-array per shingle, pure
-        # per-shingle allocation churn on the hottest expression
-        poly = "0L"
-        for j in range(shingle_k):
-            poly = f"({poly} * 1000003 + element_at(__hs, i + {j + 1})) % {_MERSENNE}"
-        bases = F.expr(
-            f"CASE WHEN size(__hs) >= {shingle_k} THEN"
-            f" transform(sequence(0, size(__hs) - {shingle_k}), i -> {poly})"
-            f" ELSE array(aggregate(__hs, 0L,"
-            f" (acc, x) -> (acc * 1000003 + x) % {_MERSENNE})) END"
-        )
-        with_bases = df.select(F.col(id_col), hs.alias("__hs")).select(
-            id_col, bases.alias("__bases")
-        )
-    else:
-        with_bases = df.select(
-            F.col(id_col),
-            F.transform(
-                word_shingles(F.col(text_col), shingle_k),
-                lambda s: _base_hash(s, base_hash),
-            ).alias("__bases"),
-        )
+    # NULL text is no document: _shingle_bases drops it up front (the md5
+    # shingle builder would otherwise hash NULL as '' via concat_ws's
+    # null-skipping and pair every NULL doc with every empty doc)
+    with_bases = _shingle_bases(df, text_col, id_col, shingle_k, base_hash)
     # one generated SQL string for the 64 mins (per-node py4j round-trips
     # on a 64-expression tree are the slow path — NOTES.md)
     mins = ", ".join(
@@ -265,6 +276,7 @@ def cross_doc_ngram_profile(
     id_col: str = "doc_id",
     ngram: int = 8,
     base_hash: str = "md5",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """(id, n_ngrams, dup_ngrams, dup_fraction) — the fraction of a
     document's DISTINCT word n-grams that also occur in at least one
@@ -278,18 +290,30 @@ def cross_doc_ngram_profile(
     back → one aggregation per doc. Both shuffles carry (hash[, id])
     only — document text never leaves the scan stage. With
     base_hash='md5' the whole computation has an exact DuckDB oracle
-    (the _base60 cross-engine hash)."""
-    df = df.filter(F.col(text_col).isNotNull())
+    (the _base60 cross-engine hash).
+
+    sample_mod=m keeps only n-grams whose hash ≡ 0 (mod m): a 1/m
+    deterministic hash sample — the same subset in every document, so
+    shared n-grams stay shared and dup_fraction becomes an unbiased
+    estimator computed over ~1/m of the rows. The wall at corpus scale is
+    the per-hash aggregation over ~docs × grams distinct keys (measured
+    108 s exact at 500k docs, ~51M keys), so the sample cuts it ~m×;
+    None (default) is exact and what the driver oracle checks."""
     # distinct at the HASH level (doc_id, h) — the map-side-combinable
-    # shape (8-byte keys) and exactly what the SQL oracle computes
-    grams = (
-        df.select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), ngram)).alias("__g"),
-        )
-        .select(id_col, _base_hash(F.col("__g"), base_hash).alias("__h"))
-        .distinct()
-    )
+    # shape (8-byte keys) and exactly what the SQL oracle computes.
+    # NB deliberately the STRING shingle path for both hashes: exploding
+    # the _shingle_bases polynomial ARRAY inlines its CASE/transform
+    # expression into the Generate operator, which abandons the fast path
+    # (measured: several minutes vs ~108 s end-to-end at 500k docs); the
+    # shuffle-side aggregation dominates the exact path anyway.
+    df = df.filter(F.col(text_col).isNotNull())
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), ngram)).alias("__g"),
+    ).select(id_col, _base_hash(F.col("__g"), base_hash).alias("__h"))
+    if sample_mod is not None:
+        grams = grams.filter(F.col("__h") % sample_mod == 0)
+    grams = grams.distinct()
     counts = grams.groupBy("__h").agg(F.count("*").alias("__docs"))
     return (
         grams.join(counts, "__h")

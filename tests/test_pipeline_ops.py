@@ -66,6 +66,33 @@ def test_simhash_identical_and_near(spark, docs):
         assert got.get((i, i + 200000)) == 0
 
 
+def test_image_table_scan_prunes_binary_column(spark, tmp_path):
+    """North-star contract: assigning the input_hint image table to tiles
+    must read ONLY image_id from parquet — the binary payload column
+    never leaves disk (column pruning visible in the scan's ReadSchema)."""
+    from building2osm_spark.operators.cover_join import assign_points_to_polygons
+    from building2osm_spark.plans.pipeline import with_location
+    from building2osm_spark.sources import fixtures as FX
+
+    path = str(tmp_path / "imgs.parquet")
+    FX.spark_images(spark, 50).write.parquet(path)
+    located = with_location(spark.read.parquet(path).select("image_id"))
+    subs = FX.spark_subdivisions(spark, 2, 2)
+    assigned = assign_points_to_polygons(
+        located.select("image_id", "lon", "lat"),
+        subs.select(F.col("name").alias("poly_id"), "geometry"),
+        multipolygon=True,
+        broadcast=True,
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    for ln in scan:
+        assert "bytes" not in ln and "caption" not in ln, ln
+        assert "image_id" in ln
+    assert assigned.count() > 0
+
+
 def test_cross_doc_ngram_profile(spark, docs):
     """Exact duplicates share every 8-gram (fraction 1.0); near-dups (one
     appended word) share all but the tail windows."""
