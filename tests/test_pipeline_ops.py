@@ -122,6 +122,41 @@ def test_simhash_nested_equals_single_level(spark, docs):
     assert nested == single and single
 
 
+def test_hamming_pairs_match_bruteforce_random(spark):
+    """Exact-recall property on a random LOW-ENTROPY hash corpus (ANDed
+    randoms concentrate bits like real perceptual hashes): the chunk
+    pigeonhole — single-level and nested — returns exactly the brute-force
+    hamming-ball pair set for several distances."""
+    rng = np.random.default_rng(123)
+    h = rng.integers(0, 2**62, 300, dtype=np.int64) & rng.integers(
+        0, 2**62, 300, dtype=np.int64
+    )
+    sims = spark.createDataFrame(
+        [(f"{i:04d}", int(v)) for i, v in enumerate(h)], "doc_id string, simhash long"
+    )
+    x = h[:, None].astype(np.uint64) ^ h[None, :].astype(np.uint64)
+    pc = np.array([bin(v).count("1") for v in range(256)], dtype=np.int64)
+    ham = sum(
+        pc[((x >> np.uint64(s)) & np.uint64(255)).astype(np.int64)]
+        for s in range(0, 64, 8)
+    )
+
+    def brute(d):
+        return {
+            (f"{i:04d}", f"{j:04d}")
+            for i in range(300)
+            for j in range(i + 1, 300)
+            if ham[i, j] <= d
+        }
+
+    for d, nested in ((1, False), (2, True), (3, True), (4, False)):
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.simhash_near_pairs(sims, max_hamming=d, nested=nested).collect()
+        }
+        assert got == brute(d), (d, nested, len(got))
+
+
 def test_phash_near_dup_planted_recall(spark):
     """Planted image near-dups (lossy qraw re-encode of the block head)
     are all recovered by the nested hamming join over the phash column;
