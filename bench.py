@@ -278,12 +278,23 @@ def host_controls(levels=(8, 32)) -> dict:
 
 
 def run_scaling(n: int) -> dict:
-    """The flagship codegen'd JVM tile assignment at local[8] vs
-    local[32], identical inputs, steady-state timing (large n: the job
-    must dwarf the ~1 s fixed costs). The `decode` job (Arrow-kernel
-    class) remains available via --single-job for manual scaling runs;
-    its multiprocessing control numbers live in BASELINE.md."""
-    return {"pip_8_to_32": _scaling_for("pip", n, levels=(8, 32))}
+    """Two scaling pillars at local[8] vs local[32], identical inputs,
+    steady-state timing (large n: the job must dwarf the ~1 s fixed
+    costs):
+
+    - pip: the flagship codegen'd JVM tile assignment — scan-heavy, so
+      its efficiency tracks the host's DRAM-bandwidth ceiling (membw_eff
+      control), which on this virtualized box drifts 0.15-0.77;
+    - decode: the Arrow image-kernel class (per-core worker PROCESSES,
+      the faithful stand-in for multi-executor scaling) — compute-bound,
+      so it tracks the cpu control and shows the ENGINE scales when the
+      workload isn't bandwidth-capped (measured 0.66 at a same-window
+      cpu ceiling of 0.79 — 84% of the host's own multiprocessing
+      scaling)."""
+    return {
+        "pip_8_to_32": _scaling_for("pip", n, levels=(8, 32)),
+        "decode_8_to_32": _scaling_for("decode", 200_000, levels=(8, 32), sessions=2),
+    }
 
 
 def main() -> None:
