@@ -40,16 +40,21 @@ def _fixture_tag() -> str:
     is only reused while the generators that produced it are unchanged —
     otherwise recall-evidence counts (found == planted etc.) would be
     asserted against a stale distribution with no warning. Hashes the
-    fixtures module plus the one bench-local generator (not all of
-    bench.py — editing a timing harness must not invalidate corpora)."""
+    fixtures module, the similarity module (the cached IVF index +
+    centroids are DERIVED artifacts of its trainer — a trainer change
+    must not reuse a stale index while claiming recall evidence) and the
+    one bench-local generator (not all of bench.py — editing a timing
+    harness must not invalidate corpora)."""
     import hashlib
     import inspect
 
+    import building2osm_spark.operators.similarity as SIM
     import building2osm_spark.sources.fixtures as FX
 
     h = hashlib.md5()
-    with open(FX.__file__, "rb") as f:
-        h.update(f.read())
+    for path in (FX.__file__, SIM.__file__):
+        with open(path, "rb") as f:
+            h.update(f.read())
     h.update(inspect.getsource(synthetic_points).encode())
     return h.hexdigest()[:8]
 

@@ -42,7 +42,7 @@ from ..constants import (
     MARGIN_TAGGED,
 )
 from ..functions.columns import cell_id_col, coordinate_offset_cols
-from ..functions.udfs import hausdorff_udf
+from ..functions.udfs import format1f_udf, format2f_udf, hausdorff_udf
 from .knn import _neighbors9
 
 # cell resolution for the candidate join: cells ≈ 150 m ≫ 2×10 m margin,
@@ -196,13 +196,15 @@ def conflate(
         )
         # reverse-direction margin (building_merge.py:633-640)
         .filter(F.col("hausdorff_m") < margin_hausdorff)
-        .withColumn("area_ratio", F.col("o_area") / F.col("i_area"))
         # area-ratio gate (building_merge.py:725-728). i_area can be 0
-        # (area truncates sub-1-m² rings to 0), making the division NULL;
-        # NULL would drop the pair from BOTH the accepted filter and the
-        # debug ~accepted surface — coalesce to rejected instead (the
-        # reference's float division would raise there; a 0-area import
-        # is never an acceptable match)
+        # (area truncates sub-1-m² rings to 0): under the session's ANSI
+        # mode a plain division would throw DIVIDE_BY_ZERO and abort the
+        # whole job — try_divide yields NULL instead, and the coalesce
+        # turns NULL into rejected (the pair must stay visible on the
+        # debug ~accepted surface; a 0-area import is never an
+        # acceptable match — the reference's own float division would
+        # raise there)
+        .withColumn("area_ratio", F.try_divide(F.col("o_area"), F.col("i_area")))
         .withColumn(
             "accepted",
             F.coalesce(
@@ -266,9 +268,16 @@ def conflate_with_tags(
     base_tags = merged_tags(F.col("__osm_tags"), F.col("props"), remove_addr=remove_addr)
     if debug:
         dbg = F.create_map(
-            F.lit("HAUSDORFF"), F.format_string(" %.2f", F.col("hausdorff_m")),
+            # CPython %.2f via Arrow UDF (reference building_merge.py:709:
+            # " %.2f" % diff — JVM format_string rounds repr-midpoints
+            # HALF_UP, breaking tag byte parity; see functions.udfs)
+            F.lit("HAUSDORFF"),
+            F.concat(F.lit(" "), format2f_udf(F.col("hausdorff_m"))),
             F.lit("IDENTICAL"),
-            F.when(F.col("identical"), F.format_string(" %.2f", F.col("hausdorff_m"))),
+            F.when(
+                F.col("identical"),
+                F.concat(F.lit(" "), format2f_udf(F.col("hausdorff_m"))),
+            ),
         )
         base_tags = F.map_concat(
             base_tags, F.map_filter(dbg, lambda _, v: v.isNotNull())
@@ -310,7 +319,7 @@ def conflate_with_tags(
             "osm_id",
             F.lit("size_reject").alias("action"),
             F.create_map(
-                F.lit("SIZE"), F.format_string("%.1f", F.col("area_ratio"))
+                F.lit("SIZE"), format1f_udf(F.col("area_ratio"))
             ).alias("tags"),
         )
         out = out.unionByName(size_rejects)

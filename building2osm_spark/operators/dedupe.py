@@ -315,7 +315,7 @@ def cross_doc_ngram_profile(
         grams = grams.filter(F.col("__h") % sample_mod == 0)
     grams = grams.distinct()
     counts = grams.groupBy("__h").agg(F.count("*").alias("__docs"))
-    return (
+    profile = (
         grams.join(counts, "__h")
         .groupBy(id_col)
         .agg(
@@ -327,6 +327,17 @@ def cross_doc_ngram_profile(
         # JVM shortest-repr vs exact-value divergence)
         .withColumn("dup_fraction", F.col("dup_ngrams") / F.col("n_ngrams"))
     )
+    if sample_mod is not None:
+        # under sampling a doc can have ZERO sampled grams (certain for
+        # short docs) and would silently vanish from the profile — emit
+        # it with zero counts and a NULL fraction (unknown, not 0.0), so
+        # consumers joining back to the corpus see every document
+        profile = (
+            df.select(id_col)
+            .join(profile, id_col, "left")
+            .fillna({"n_ngrams": 0, "dup_ngrams": 0})
+        )
+    return profile
 
 
 def simhash(

@@ -47,10 +47,14 @@ def write_geojson(
     if geom_type_col:
         cols.append(geom_type_col)
     rows = df.select(*cols).collect()
+    # nulls FIRST (matching Spark orderBy's default), then ref ascending
+    # with a serialized-geometry tiebreak. The null placeholder only
+    # compares within the null group (the leading flag separates groups),
+    # so numeric ref columns — including falsy ref 0 — never mix types.
     rows.sort(
         key=lambda r: (
-            r[ref_col] is None,
-            r[ref_col] or "",
+            r[ref_col] is not None,
+            "" if r[ref_col] is None else r[ref_col],
             json.dumps(r[geometry_col]),
         )
     )

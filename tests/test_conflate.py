@@ -199,3 +199,24 @@ def test_conflate_with_tags_debug_and_remove_addr(spark):
     mod2 = [r for r in out2.collect() if r["action"] == "modify"]
     assert all(r["tags"].get("addr:street") == "Gata" for r in mod2)
     assert all("HAUSDORFF" not in r["tags"] for r in mod2)
+
+
+def test_zero_area_import_rejected_not_crash(spark):
+    """i_area = 0 (sub-1-m² ring truncates to 0) must not abort the job
+    under ANSI mode (plain division throws DIVIDE_BY_ZERO); the pair is
+    rejected by the area gate and stays visible on the debug surface."""
+    from pyspark.sql import functions as F
+
+    from building2osm_spark.operators.conflate import conflate
+
+    osm_pdf, import_pdf = FX.conflation_pdfs(8)
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    imports = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA).withColumn(
+        "area", F.lit(0).cast("long")
+    )
+    assert conflate(osm, imports).count() == 0  # nothing acceptable
+    dbg = conflate(osm, imports, with_area_rejects=True)
+    rows = dbg.collect()
+    assert len(rows) > 0  # mutual-best pairs still visible
+    assert all(r["accepted"] is False for r in rows)
+    assert all(r["area_ratio"] is None for r in rows)
