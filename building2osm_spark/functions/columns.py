@@ -17,6 +17,30 @@ _RES_SHIFT = 54
 _IX_SHIFT = 27
 
 
+def map_update(base: Column, overrides: Column) -> Column:
+    """dict.update() semantics for maps, independent of the session's
+    spark.sql.mapKeyDedupPolicy: keys present in `overrides` replace the
+    `base` entry instead of producing a duplicate key (which would throw
+    under the default EXCEPTION policy — the driver's oracle session runs
+    with defaults, so no operator may rely on LAST_WIN)."""
+    keys = F.map_keys(overrides)
+    return F.map_concat(
+        F.map_filter(base, lambda k, _: ~F.array_contains(keys, k)), overrides
+    )
+
+
+def map_update_fixed(base: Column, overrides: Column, keys: tuple) -> Column:
+    """map_update for override maps whose key set is a FIXED literal set
+    (`keys` ⊇ the overrides' keys). Needed when the override values come
+    from Python/Arrow UDFs: Catalyst rejects a map containing a UDF inside
+    a higher-order-function lambda (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_
+    WITH_PYTHON_UDF), so the base filter tests the literal key set instead
+    of map_keys(overrides). Keys listed here are engine-owned (debug/diag
+    tags) — a same-named key in base is dropped even when the override is
+    absent, which is the intended fresh-per-run debug semantics."""
+    return F.map_concat(F.map_filter(base, lambda k, _: ~k.isin(*keys)), overrides)
+
+
 def cell_id_col(lon: Column, lat: Column, res: int) -> Column:
     """int64 cell id at resolution `res` — same scheme as cells.cell_id,
     expressed as pure Catalyst arithmetic so point-side cell assignment

@@ -41,7 +41,12 @@ from ..constants import (
     MARGIN_HAUSDORFF,
     MARGIN_TAGGED,
 )
-from ..functions.columns import cell_id_col, coordinate_offset_cols
+from ..functions.columns import (
+    cell_id_col,
+    coordinate_offset_cols,
+    map_update,
+    map_update_fixed,
+)
 from ..functions.udfs import format1f_udf, format2f_udf, hausdorff_udf
 from .knn import _neighbors9
 
@@ -279,8 +284,10 @@ def conflate_with_tags(
                 F.concat(F.lit(" "), format2f_udf(F.col("hausdorff_m"))),
             ),
         )
-        base_tags = F.map_concat(
-            base_tags, F.map_filter(dbg, lambda _, v: v.isNotNull())
+        base_tags = map_update_fixed(
+            base_tags,
+            F.map_filter(dbg, lambda _, v: v.isNotNull()),
+            ("HAUSDORFF", "IDENTICAL"),
         )
     modified = (
         matches.join(osm.select("osm_id", F.col("tags").alias("__osm_tags")), "osm_id")
@@ -293,7 +300,7 @@ def conflate_with_tags(
         )
     )
     new_tags = (
-        F.map_concat(
+        map_update(
             F.col("props"),
             F.create_map(F.lit("AREA"), F.col("area").cast("string")),
         )

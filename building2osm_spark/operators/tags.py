@@ -7,9 +7,9 @@ conflict, and a suppressed-category conflict flag OSM_BUILDING records
 the old building=* value when the two disagree across the
 similar-building categories (building_merge.py:34-38,564-573).
 
-All map surgery is native (map_filter/map_concat/map_contains_key);
-map_concat runs under LAST_WIN dedup (set in session.py) so import
-properties win, matching dict.update semantics at building_merge.py:580.
+All map surgery is native (map_filter/map_update/map_contains_key);
+map_update gives dict.update semantics (import properties win, matching
+building_merge.py:580) independent of the session's mapKeyDedupPolicy.
 """
 
 from __future__ import annotations
@@ -18,6 +18,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..constants import SIMILAR_BUILDINGS
+from ..functions.columns import map_update
 
 _DROPPED_KEYS = ("building:type", "source", "source:date")  # building_merge.py:575
 # building_merge.py:576 INTENDS to also drop these under remove_addr, but a
@@ -56,9 +57,9 @@ def merged_tags(
     )
     flagged = F.when(
         conflict,
-        F.map_concat(kept, F.create_map(F.lit("OSM_BUILDING"), osm_b)),
+        map_update(kept, F.create_map(F.lit("OSM_BUILDING"), osm_b)),
     ).otherwise(kept)
-    return F.map_concat(flagged, import_props)  # import wins (LAST_WIN)
+    return map_update(flagged, import_props)  # import wins
 
 
 def tagged_flag(tags: Column) -> Column:

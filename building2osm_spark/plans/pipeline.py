@@ -22,6 +22,7 @@ from ..operators.cover_join import assign_points_to_polygons
 from ..operators.geometry_passes import rectify_and_simplify
 from ..operators.knn import knn_join
 from ..sources.checkpoint import SnapshotStore
+from ..functions.columns import map_update_fixed
 from ..sources.dims import building_types, compose_output_tags, enrich_building_tags
 from ..sources.fixtures import image_location
 
@@ -177,5 +178,12 @@ def municipality_pipeline(
             ),
         )
     if debug or verify:
-        out = out.withColumn("tags", F.map_concat(F.col("tags"), diag))
+        out = out.withColumn(
+            "tags",
+            map_update_fixed(
+                F.col("tags"),
+                diag,
+                ("DEBUG_RECTIFY", "DEBUG_NORECTIFY", "VERIFY_RECTIFY"),
+            ),
+        )
     return out.orderBy("ref")

@@ -42,8 +42,10 @@ def get_spark(app: str = "building2osm_spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # dict.update() semantics for map_concat (tag merges: import wins)
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # NOTE: mapKeyDedupPolicy stays at the default EXCEPTION — all tag
+        # merges go through functions.columns.map_update, which implements
+        # dict.update semantics without relying on session config (the
+        # driver's oracle session runs Spark defaults).
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,34 +13,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# synthetic subset of building_types.csv (same shape: id;name;osm_tag,
-# covering every tag the retag rules P4 touch)
-BUILDING_TYPES_ROWS = [
-    ("111", "Enebolig", "building=house"),
-    ("112", "Enebolig m/hybel", "building=house"),
-    ("113", "Våningshus", "building=farm"),
-    ("121", "Tomannsbolig", "building=semidetached_house"),
-    ("142", "Stort frittliggende boligbygg", "building=apartments"),
-    ("161", "Fritidsbygg", "building=cabin"),
-    ("181", "Garasje i boligeiendom", "building=garage"),
-    ("231", "Verkstedbygning", "building=industrial"),
-    ("241", "Driftsbygning", "building=barn"),
-    ("311", "Kontorbygning", "building=office"),
-    ("412", "Hotellbygning", "building=hotel"),
-    ("511", "Skolebygning", "building=school"),
-    ("612", "Museumsbygning", "building=museum + tourism=museum"),
-    ("671", "Forsamlingshus", "building=civic"),
-    ("672", "Kirke", "building=church + amenity=place_of_worship"),
-    ("673", "Bedehus", "building=religious"),
-    ("819", "Landbruksbygg", "building=barracks"),
-    ("999", "Ukjent", ""),
-]
+from ..functions.columns import map_update
+
+# full building_types.csv (129 rows, shape id;name;osm_tag) — the public
+# Matrikkel type-code table the reference fetches at runtime
+# (building2osm.py:330-351); committed under data/ so runs are hermetic.
+_DATA_CSV = __import__("pathlib").Path(__file__).resolve().parent.parent / (
+    "data/building_types.csv"
+)
 
 
-def building_types(spark: SparkSession) -> DataFrame:
-    """(type_id, name, tags map) — always broadcast-joined (J6)."""
+def _load_building_types_rows() -> list[tuple[str, str, str]]:
+    import csv
+
+    with open(_DATA_CSV, encoding="utf-8") as f:
+        reader = csv.reader(f, delimiter=";")
+        next(reader)  # header
+        return [(r[0], r[1], r[2]) for r in reader]
+
+
+BUILDING_TYPES_ROWS = _load_building_types_rows()
+
+
+def building_types(spark: SparkSession, rows=None) -> DataFrame:
+    """(type_id, name, tags map) — always broadcast-joined (J6).
+
+    The tag parse handles the reference's full "k=v + k=v" grammar
+    (building2osm.py:338-343) even though the current public CSV carries
+    single-tag rows only; `rows` overrides the table for tests."""
     df = spark.createDataFrame(
-        BUILDING_TYPES_ROWS, schema="type_id string, name string, osm_tag string"
+        rows or BUILDING_TYPES_ROWS,
+        schema="type_id string, name string, osm_tag string",
     )
     cleaned = F.regexp_replace(F.col("osm_tag"), " ", "")
     pairs = F.filter(F.split(cleaned, r"\+"), lambda p: p != "")
@@ -53,7 +56,10 @@ def building_types(spark: SparkSession) -> DataFrame:
         )
     )
     base = F.create_map(F.lit("building"), F.lit("yes"))
-    tags = F.when(F.size(pairs) > 0, F.map_concat(base, parsed)).otherwise(base)
+    # parsed usually carries its own building=* key; map_update keeps the
+    # parsed value without a duplicate key (safe under the default
+    # mapKeyDedupPolicy=EXCEPTION — the driver's session runs defaults)
+    tags = F.when(F.size(pairs) > 0, map_update(base, parsed)).otherwise(base)
     return df.select("type_id", "name", tags.alias("tags"))
 
 
@@ -82,7 +88,7 @@ def compose_output_tags(enriched: DataFrame, tags_col: str = "tags") -> DataFram
     TYPE/STATUS/DATE survive the uppercase cleanup (building2osm.py:1309 /
     operators.tags.drop_debug_tags); SEFRAK only under the `original` flag.
     All map surgery is native (create_map + map_filter of null values +
-    LAST_WIN map_concat)."""
+    map_update — dedup-policy-independent)."""
     from ..constants import STATUS_CODES
 
     cols = set(enriched.columns)
@@ -113,7 +119,7 @@ def compose_output_tags(enriched: DataFrame, tags_col: str = "tags") -> DataFram
     )
     present = F.map_filter(extras, lambda _, v: v.isNotNull())
     base = F.coalesce(F.col(tags_col), F.create_map().cast("map<string,string>"))
-    return enriched.withColumn(tags_col, F.map_concat(base, present))
+    return enriched.withColumn(tags_col, map_update(base, present))
 
 
 # -- municipalities ---------------------------------------------------------

@@ -161,10 +161,12 @@ def test_conflate_with_tags_debug_and_remove_addr(spark):
     osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
     imports = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA)
     # give the OSM side addr tags to observe remove_addr
+    from building2osm_spark.functions.columns import map_update
+
     osm = osm.withColumn(
         "tags",
-        F.map_concat(
-            "tags",
+        map_update(
+            F.col("tags"),
             F.create_map(
                 F.lit("addr:street"), F.lit("Gata"), F.lit("name"), F.lit("N")
             ),

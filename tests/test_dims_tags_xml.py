@@ -19,12 +19,44 @@ from building2osm_spark.sources.osm_xml import write_osm_xml
 
 def test_building_types_parse(spark):
     bt = building_types(spark)
+    assert bt.count() == 129  # full public CSV committed under data/
     rows = {r["type_id"]: r for r in bt.collect()}
     assert rows["111"]["tags"] == {"building": "house"}
-    # multi-tag parse: "building=museum + tourism=museum"
-    assert rows["612"]["tags"] == {"building": "museum", "tourism": "museum"}
-    # empty osm_tag → default building=yes (building2osm.py:338)
+    assert rows["612"]["tags"] == {"building": "kindergarten"}
     assert rows["999"]["tags"] == {"building": "yes"}
+    # multi-tag "k=v + k=v" grammar (building2osm.py:338-343) + the
+    # empty-tag default — not exercised by the current CSV, so pin them
+    # with an explicit rows override
+    extra = building_types(
+        spark,
+        rows=[
+            ("612x", "Museum", "building=museum + tourism=museum"),
+            ("998", "Tom", ""),
+        ],
+    )
+    er = {r["type_id"]: r for r in extra.collect()}
+    assert er["612x"]["tags"] == {"building": "museum", "tourism": "museum"}
+    assert er["998"]["tags"] == {"building": "yes"}
+
+
+def test_building_types_parity_full_table(spark):
+    """Every row's tag map matches the reference parse loop
+    (building2osm.py:336-347) applied to the same committed CSV."""
+    from building2osm_spark.sources.dims import BUILDING_TYPES_ROWS
+
+    expected = {}
+    for type_id, name, osm_tag in BUILDING_TYPES_ROWS:
+        tags = {"building": "yes"}
+        if osm_tag:
+            for part in osm_tag.replace(" ", "").split("+"):
+                k, v = part.split("=")
+                tags[k] = v
+        expected[type_id] = (name, tags)
+    got = {
+        r["type_id"]: (r["name"], dict(r["tags"]))
+        for r in building_types(spark).collect()
+    }
+    assert got == expected
 
 
 def test_enrich_join_broadcast(spark):
