@@ -36,16 +36,23 @@ def cmd_process(args) -> int:
 
     spark = _spark(args)
     buildings = spark.read.parquet(args.buildings)
-    out = municipality_pipeline(spark, buildings, debug=args.debug, verify=args.verify)
+    out = municipality_pipeline(
+        spark, buildings, debug=args.debug, verify=args.verify,
+        original=args.original,
+    )
     # two sinks (parquet + geojson) — run the rectify/simplify plan once
     out = out.localCheckpoint(eager=False)
     os.makedirs(args.out, exist_ok=True)
     out.write.mode("overwrite").parquet(os.path.join(args.out, "buildings.parquet"))
+    # the reference suffixes the output file in -original mode
+    # (building2osm.py:1283-1284)
+    geojson_name = "buildings_original.geojson" if args.original else "buildings.geojson"
     n = write_geojson(
         out.select("ref", "geometry", "tags"),
-        os.path.join(args.out, "buildings.geojson"),
+        os.path.join(args.out, geojson_name),
         keep_uppercase=args.debug,
         keep_verify=args.verify,
+        keep_sefrak=args.original,
     )
     print(f"processed {n} buildings -> {args.out}")
     return 0
@@ -169,6 +176,9 @@ def main(argv=None) -> int:
                    help="emit DEBUG_* diagnostic tags (reference -debug)")
     p.add_argument("--verify", action="store_true",
                    help="emit VERIFY_RECTIFY tags (reference -verify)")
+    p.add_argument("--original", action="store_true",
+                   help="skip rectify+simplify, keep input geometry and the "
+                        "SEFRAK tag (reference -original)")
     p.set_defaults(fn=cmd_process)
 
     m = sub.add_parser("merge", help="conflate with OSM (building_merge.py)")

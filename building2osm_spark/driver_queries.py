@@ -838,6 +838,72 @@ GROUP BY g.doc_id
 """
 
 
+def q_ngram_dup_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed cross-document duplication profile (the scale form of
+    ngram_dup_profile): same corpus + 30 planted near-dups, but the
+    per-hash aggregation runs on winnowing fingerprints (window-minima,
+    ~2/(w+1) of the distinct grams) with an absolute coverage guarantee
+    for shared runs of ≥ window+ngram-1 words."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    return DD.winnowed_ngram_profile(docs.unionByName(dup), ngram=8, window=8)
+
+
+# independent formulation of the same selection: the engine computes
+# window minima as a per-document array expression; the oracle uses SQL
+# window frames (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING) — an
+# off-by-one in either implementation breaks the hash match.
+ORACLE_NGRAM_WINNOWED = f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' tailword' AS text
+  FROM documents WHERE doc_id < 30
+),
+words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM unioned
+),
+positions AS (
+  SELECT doc_id, ws,
+         unnest(CASE WHEN len(ws) >= 8 THEN range(1, len(ws) - 6)
+                ELSE [1] END) AS pos
+  FROM words
+),
+grams AS (
+  SELECT doc_id, pos,
+         CAST(CAST('0x' || substring(md5(
+              CASE WHEN len(ws) >= 8
+                   THEN array_to_string(list_slice(ws, pos, pos + 7), ' ')
+                   ELSE array_to_string(ws, ' ') END), 1, 15) AS UBIGINT)
+              % {{m}} AS BIGINT) AS h
+  FROM positions
+),
+winmins AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wm,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, wm AS h FROM winmins WHERE cnt = 8
+  UNION
+  SELECT doc_id, min(h) AS h FROM grams GROUP BY doc_id HAVING count(*) < 8
+),
+counts AS (SELECT h, count(*) AS docs FROM fps GROUP BY h)
+SELECT f.doc_id,
+  CAST(count(*) AS BIGINT) AS n_fingerprints,
+  CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_fingerprints,
+  sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) / count(*) AS dup_fraction
+FROM fps f JOIN counts c USING (h)
+GROUP BY f.doc_id
+""".replace("{m}", str(DD._MERSENNE))
+
+
 ORACLE_NGRAM = _dedup_shingle_ctes(" tailword") + """,
 sets AS (
   SELECT doc_id, list(DISTINCT sh) AS shs FROM shingles GROUP BY doc_id
@@ -1620,6 +1686,25 @@ def q_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(sims, max_hamming=8, id_col="doc_id", nested=True)
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-axis kernel (functions/audio.py): deterministic APCM clips →
+    (duration, rms, zcr, peak) via the Arrow mapInPandas kernel. Fixture-
+    driven (the codec is a pure function of clip_id), so the output is a
+    constant pinned by a golden parquet; determinism and feature ranges
+    are proven in tests/test_audio.py."""
+    from .functions.audio import audio_features, synthetic_clip
+
+    rows = [(f"clip_{i}", synthetic_clip(f"clip_{i}"), "apcm") for i in range(300)]
+    df = spark.createDataFrame(rows, schema="clip_id string, bytes binary, fmt string")
+    return audio_features(df).select(
+        "clip_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 9).alias("rms"),
+        F.round("zcr", 9).alias("zcr"),
+        F.round("peak", 9).alias("peak"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1662,6 +1747,7 @@ QUERIES = {
     "rotate_points": q_rotate_points,
     "minhash_near_dups": q_minhash_near_dups,
     "ngram_dup_profile": q_ngram_dup_profile,
+    "ngram_dup_winnowed": q_ngram_dup_winnowed,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_verify": q_ngram_jaccard_verify,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1672,6 +1758,7 @@ QUERIES = {
     "image_pipeline": q_image_pipeline,
     "raster_overlay": q_raster_overlay,
     "image_phash_buckets": q_image_phash_buckets,
+    "audio_features": q_audio_features,
 }
 
 ORACLES = {
@@ -1702,6 +1789,7 @@ ORACLES = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "minhash_near_dups": ORACLE_MINHASH,
     "ngram_dup_profile": ORACLE_NGRAM_DUP,
+    "ngram_dup_winnowed": ORACLE_NGRAM_WINNOWED,
     "simhash_pairs": ORACLE_SIMHASH,
     "ngram_jaccard_verify": ORACLE_NGRAM,
     # IVF with nprobe = n_centroids probes the full corpus → exact: the
@@ -1741,6 +1829,7 @@ ORACLES.update(
             "image_pipeline",
             "raster_overlay",
             "image_phash_buckets",
+            "audio_features",
         ]
     }
 )

@@ -259,6 +259,16 @@ def conflate_with_tags(
     733,450): HAUSDORFF ' %.2f' and IDENTICAL ' %.2f' (h < 1 m) on merged
     rows, SIZE '%.1f' rows for mutual-best pairs rejected only by the
     area gate (action='size_reject'), AREA on new rows.
+
+    DELIBERATE SUBSET, not byte parity: the reference additionally tags
+    HAUSDORFF onto any OSM building that had a best candidate even when
+    thresholds/mutual-best rejected it, IDENTICAL onto every scanned pair
+    under 1 m, and writes SIZE into the OSM building's own tags
+    (building_merge.py:708-717) — diagnostic spray over rows this
+    operator never emits (it returns the match/new/size_reject action
+    table, not the mutated OSM table). Callers needing the reference's
+    full -debug spray should join `conflate(..., with_area_rejects=True)`
+    back onto their OSM table.
     """
     from .tags import merged_tags
 

@@ -79,7 +79,9 @@ def _base_hash(col, base_hash: str) -> F.Column:
     if base_hash == "md5":
         return _base60(col) % _MERSENNE
     if base_hash == "xxhash64":
-        return F.abs(F.xxhash64(col)) % _MERSENNE
+        # pmod, not abs(...)%M: abs(Long.MIN_VALUE) is an ANSI
+        # ARITHMETIC_OVERFLOW — a 2^-64-per-value hard job abort at corpus scale
+        return F.pmod(F.xxhash64(col), F.lit(_MERSENNE))
     raise ValueError(f"unknown base_hash {base_hash!r}")
 
 
@@ -96,7 +98,7 @@ def _shingle_bases(
     if base_hash == "xxhash64":
         hs = F.expr(
             f"transform(split(lower({text_col}), '\\\\s+'),"
-            f" w -> abs(xxhash64(w)) % {_MERSENNE})"
+            f" w -> pmod(xxhash64(w), {_MERSENNE}))"
         )
         # unrolled element_at polynomial (identical values to the
         # aggregate(slice(...)) fold it replaces — same fold order from
@@ -338,6 +340,87 @@ def cross_doc_ngram_profile(
             .fillna({"n_ngrams": 0, "dup_ngrams": 0})
         )
     return profile
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    window: int = 8,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """(id, __h) — the document's DISTINCT winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03): the set of minima over every
+    `window` consecutive n-gram hashes. Expected density 2/(window+1), so
+    downstream aggregations run on ~window/2× fewer keys than the full
+    distinct-gram set, while keeping the ABSOLUTE coverage guarantee: two
+    documents sharing any run of ≥ window+ngram-1 words share a full hash
+    window inside the run, hence at least one fingerprint (the value set
+    needs no tie/position bookkeeping — only the recorded-position rule
+    does, and this profile never records positions).
+
+    Scale shape: the whole selection is ONE map-only projection per
+    document (hash array → window-min array → array_distinct) — no
+    shuffle, no Python; only fingerprints (~2/(w+1) of the grams) leave
+    the scan. The projection is lineage-truncated before the explode:
+    CollapseProject would otherwise inline the generated window
+    expression into Generate and abandon the codegen fast path
+    (NOTES hard-won fact 15b).
+
+    Documents with fewer than `window` n-grams yield their single overall
+    minimum (the standard short-document rule), so every non-empty
+    document has ≥1 fingerprint.
+    """
+    df = df.filter(F.col(text_col).isNotNull())
+    hs = F.transform(
+        word_shingles(F.col(text_col), ngram), lambda s: _base_hash(s, base_hash)
+    )
+    n = F.size(hs)
+    windows = F.transform(
+        F.sequence(F.lit(0), n - window),
+        lambda i: F.array_min(F.slice(hs, i + 1, window)),
+    )
+    fps = F.array_distinct(
+        F.when(n >= window, windows).otherwise(F.array(F.array_min(hs)))
+    )
+    per_doc = df.select(F.col(id_col), fps.alias("__fps")).localCheckpoint(eager=False)
+    return per_doc.select(id_col, F.explode("__fps").alias("__h"))
+
+
+def winnowed_ngram_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    window: int = 8,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """(id, n_fingerprints, dup_fingerprints, dup_fraction) — the
+    cross-document duplication profile over winnowing fingerprints: the
+    scale form of cross_doc_ngram_profile. Same aggregation pipeline, but
+    the per-hash doc-count groupBy and the join back run on the ~2/(w+1)
+    fingerprint subset instead of every distinct n-gram — the measured
+    bottleneck of the exact path at corpus scale (~51M distinct keys at
+    500k docs) shrinks ~(w+1)/2×. Unlike hash-mod sampling, shared runs
+    of ≥ window+ngram-1 words are NEVER missed (coverage guarantee,
+    property-tested in tests/test_pipeline_ops.py); with base_hash='md5'
+    the whole computation has an exact DuckDB oracle (window-function
+    formulation — an independent implementation of the same selection).
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, ngram, window, base_hash)
+    counts = fp.groupBy("__h").agg(F.count("*").alias("__docs"))
+    return (
+        fp.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.sum((F.col("__docs") >= 2).cast("long")).alias("dup_fingerprints"),
+        )
+        .withColumn(
+            "dup_fraction", F.col("dup_fingerprints") / F.col("n_fingerprints")
+        )
+    )
 
 
 def simhash(

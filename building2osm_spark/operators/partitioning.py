@@ -127,18 +127,40 @@ def salted_repartition(
     downstream per-cell aggregation needs no extra merge for them.
 
     The salt is a DETERMINISTIC function of row content (xxhash64 over
-    salt_cols, default: every hashable column): on partial stage retry
-    after executor loss, recomputed rows land in the same (cell, salt)
-    partition as the surviving shuffle output (SPARK-23207 class —
-    monotonically_increasing_id/rand as a repartition key can duplicate
-    or lose rows under retry).
+    salt_cols): on partial stage retry after executor loss, recomputed
+    rows land in the same (cell, salt) partition as the surviving shuffle
+    output (SPARK-23207 class — monotonically_increasing_id/rand as a
+    repartition key can duplicate or lose rows under retry).
+
+    Default salt_cols: the atomic (non-nested) columns when any exist,
+    else every hashable column. Atomic-first keeps heavy payloads (ring
+    geometry, signature arrays) out of the per-row hash; the exclusion of
+    map-bearing types is recursive — xxhash64 rejects a MapType anywhere
+    in a struct/array nesting, not just at top level.
     """
     if salt_cols is None:
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, AtomicType, MapType, StructType
 
-        salt_cols = [
-            f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+        def hashable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return hashable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(hashable(f.dataType) for f in dt.fields)
+            return True
+
+        atomic = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, AtomicType)
         ]
+        salt_cols = atomic or [
+            f.name for f in df.schema.fields if hashable(f.dataType)
+        ]
+        if not salt_cols:
+            raise ValueError(
+                "salted_repartition: no hashable columns for the default "
+                "salt; pass salt_cols explicitly"
+            )
     hist = df.groupBy(cell_col).agg(F.count("*").alias("__n"))
     hot = hist.filter(F.col("__n") >= hot_threshold).select(cell_col)
     salted = df.join(F.broadcast(hot.withColumn("__hot", F.lit(True))), cell_col, "left")

@@ -118,6 +118,7 @@ def municipality_pipeline(
     *,
     debug: bool = False,
     verify: bool = False,
+    original: bool = False,
 ) -> DataFrame:
     """buildings(ref, geometry, building_type, …) → enriched + rectified +
     simplified + WKB output rows (the building2osm.py:1338-1363 flow).
@@ -127,12 +128,19 @@ def municipality_pipeline(
     buildings and DEBUG_NORECTIFY reason text on aborts (debug);
     VERIFY_RECTIFY '%.1f' when the max node move exceeds half the rectify
     margin (verify). The sink keeps VERIFY_* under the verify flag
-    (building2osm.py:1309)."""
+    (building2osm.py:1309). original skips rectify+simplify entirely
+    (the -original flag, building2osm.py:1359-1361,1402-1403) — output
+    geometry is the input geometry, rounded at the boundary as always."""
     from ..constants import RECTIFY_MARGIN
     from ..functions.udfs import format1f_udf, format2f_udf, round7_geometry_udf, wkb_udf
 
     types = building_types(spark)
     enriched = compose_output_tags(enrich_building_tags(buildings, types))
+    if original:
+        out = enriched.withColumn(
+            "geometry", round7_geometry_udf(F.col("geometry"))
+        ).withColumn("wkb", wkb_udf(F.col("geometry")))
+        return out.orderBy("ref")
     passes = rectify_and_simplify(enriched.select("ref", "geometry"))
     out = (
         enriched.drop("geometry")

@@ -19,6 +19,20 @@ ARROW_BATCH = 16384  # rows per Arrow batch into numpy kernels (per-batch
 # worst-case geometry batch stays ~15 MB)
 
 
+def _warehouse_dir() -> str:
+    env = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if env:
+        return env
+    import getpass
+    import tempfile
+
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = str(os.getuid()) if hasattr(os, "getuid") else "anon"
+    return os.path.join(tempfile.gettempdir(), f"b2o_spark_warehouse_{user}")
+
+
 def get_spark(app: str = "building2osm_spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cores is None:
@@ -37,8 +51,12 @@ def get_spark(app: str = "building2osm_spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
         # bucketed-table warehouse (sources/bucketed.py) — keep catalog
-        # data out of the repo/cwd; static config, so set at build time
-        .config("spark.sql.warehouse.dir", "/tmp/b2o_spark_warehouse")
+        # data out of the repo/cwd; static config, so set at build time.
+        # Per-user by default (a fixed shared /tmp path collides across
+        # users/concurrent CI: write_bucketed drops dirs under it, and a
+        # foreign-owned dir fails saveAsTable); SPARK_GRAFT_WAREHOUSE
+        # overrides for deployments that want a shared catalog.
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -61,12 +61,17 @@ def windowed_district_counts(
 # counts in state would be dead weight — exactly-once emission means they
 # could never be re-emitted. n_duplicates_dropped therefore counts
 # duplicates WITHIN the first-seen micro-batch only.
-_DEDUP_OUTPUT = T.StructType(
-    [
-        T.StructField("key", T.StringType()),
-        T.StructField("n_duplicates_dropped", T.LongType()),
-    ]
-)
+def _dedup_output_schema(key_type: T.DataType) -> T.StructType:
+    # key typed from the stream's own column — a long/int key funneled
+    # into a hardcoded string field fails Arrow conversion at runtime
+    return T.StructType(
+        [
+            T.StructField("key", key_type),
+            T.StructField("n_duplicates_dropped", T.LongType()),
+        ]
+    )
+
+
 _DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
 
 
@@ -114,7 +119,7 @@ def streaming_dedupe_first_seen(
 
     return stream.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=_DEDUP_OUTPUT,
+        outputStructType=_dedup_output_schema(stream.schema[key_col].dataType),
         stateStructType=_DEDUP_STATE,
         outputMode="update",
         timeoutConf=timeout,

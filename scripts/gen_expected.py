@@ -34,6 +34,7 @@ NAMES = [
     "image_pipeline",
     "raster_overlay",
     "image_phash_buckets",
+    "audio_features",
 ]
 
 

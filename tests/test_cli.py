@@ -21,6 +21,38 @@ def test_cli_process(spark, tmp_path):
     assert spark.read.parquet(os.path.join(out, "buildings.parquet")).count() == 30
 
 
+def test_cli_process_original(spark, tmp_path):
+    """--original (reference -original, building2osm.py:1359,1402): no
+    rectify/simplify — output geometry is the input geometry byte-for-byte
+    after the unconditional 7-decimal output rounding — the file gets the
+    reference's _original suffix, and SEFRAK survives the uppercase drop."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "b.parquet")
+    b = FX.spark_buildings(spark, 30).withColumn("sefrak", F.lit("1234-0001-2"))
+    b.write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["--cores", "4", "process", "--buildings", src, "--out", out, "--original"]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "buildings_original.geojson"))
+    data = json.load(open(os.path.join(out, "buildings_original.geojson")))
+    assert len(data["features"]) == 30
+    assert all(f["properties"].get("SEFRAK") == "1234-0001-2" for f in data["features"])
+    inp = {
+        r["ref"]: [[round(c, 7) for c in p] for ring in r["geometry"] for p in ring]
+        for r in b.select("ref", "geometry").collect()
+    }
+    got = {
+        r["ref"]: [list(p) for ring in r["geometry"] for p in ring]
+        for r in spark.read.parquet(os.path.join(out, "buildings.parquet"))
+        .select("ref", "geometry")
+        .collect()
+    }
+    assert got == inp
+
+
 def test_cli_merge(spark, tmp_path):
     osm_pdf, import_pdf = FX.conflation_pdfs(32)
     osm_p = str(tmp_path / "osm.parquet")

@@ -106,6 +106,77 @@ def test_cross_doc_ngram_profile(spark, docs):
         assert rows[i + 100000]["dup_ngrams"] < rows[i + 100000]["n_ngrams"]
 
 
+def test_winnow_fingerprints_match_bruteforce(spark):
+    """The native window-min selection equals a straight Python
+    reimplementation of winnowing's fingerprint VALUE set (minima of
+    every w-window of n-gram hashes, distinct), including the
+    short-document single-minimum rule — over corpora with repeated
+    n-grams (ties inside windows) and adversarial monotone word runs."""
+    import hashlib
+    import random
+
+    ngram, w = 3, 4
+
+    def base60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % D._MERSENNE
+
+    def brute(text: str) -> set:
+        ws = text.lower().split()
+        if len(ws) < ngram:
+            grams = [" ".join(ws)]
+        else:
+            grams = [" ".join(ws[i : i + ngram]) for i in range(len(ws) - ngram + 1)]
+        hs = [base60(g) for g in grams]
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]  # small vocab → repeated grams
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(1, 60))) for _ in range(40)]
+    texts += [" ".join(f"w{i}" for i in range(25))]  # monotone run
+    texts += ["one two"]  # shorter than ngram
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got = {}
+    for r in D.winnow_fingerprints(df, ngram=ngram, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["__h"])
+    assert got == {i: brute(t) for i, t in enumerate(texts)}
+
+
+def test_winnow_coverage_guarantee(spark):
+    """The absolute coverage property: any two documents sharing a run of
+    ≥ window+ngram-1 words share at least one fingerprint — for MINIMAL
+    shared runs planted in otherwise-disjoint random text (several seeds),
+    which hash-mod sampling would miss with probability (1-1/m)^k."""
+    import random
+
+    ngram, w = 8, 8
+    run_words = w + ngram - 1  # exactly the guarantee threshold
+    rows = []
+    for seed in range(10):
+        rng = random.Random(seed)
+        run = [f"s{seed}r{j}" for j in range(run_words)]
+        a = [f"s{seed}a{j}" for j in range(rng.randint(0, 40))] + run + [
+            f"s{seed}A{j}" for j in range(rng.randint(0, 40))
+        ]
+        b = [f"s{seed}b{j}" for j in range(rng.randint(0, 40))] + run + [
+            f"s{seed}B{j}" for j in range(rng.randint(0, 40))
+        ]
+        rows.append((2 * seed, " ".join(a)))
+        rows.append((2 * seed + 1, " ".join(b)))
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    fps = {}
+    for r in D.winnow_fingerprints(df, ngram=ngram, window=w).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["__h"])
+    for seed in range(10):
+        assert fps[2 * seed] & fps[2 * seed + 1], f"seed {seed}: no shared fingerprint"
+    # and the profile flags every planted pair as duplicated
+    prof = {r["doc_id"]: r for r in D.winnowed_ngram_profile(df, ngram=ngram, window=w).collect()}
+    assert all(prof[i]["dup_fingerprints"] >= 1 for i in range(20))
+
+
 def test_simhash_nested_equals_single_level(spark, docs):
     """The two-level pigeonhole (nested=True) must return exactly the
     single-level pair set — recall is provably identical; only the
