@@ -563,13 +563,14 @@ def main() -> None:
     timed("image_assign_500k", image_assign_500k)
 
     def ngram_dup_500k():
-        # exact-substring dedup triage at corpus scale: per-doc distinct
-        # 8-gram hashes -> per-hash doc counts -> re-join; both shuffles
-        # carry 8-16 byte keys (text never leaves the scan stage). The
-        # wall is the ~51M-distinct-key aggregation, so the bench runs the
-        # mod-8 deterministic hash sample (same subset in every doc —
-        # shared grams stay shared; dup_fraction is the unbiased
-        # estimator); the EXACT path is what the driver oracle checks.
+        # exact-substring dedup triage at corpus scale, EXACT path: per-doc
+        # distinct 8-gram hashes -> per-hash doc counts -> re-join; both
+        # shuffles carry 8-16 byte keys (text never leaves the scan stage).
+        # 107 s -> ~24 s in round 3: the xxhash64 scan now explodes the
+        # MATERIALIZED word-hash polynomial arrays instead of building 100M
+        # shingle strings (string construction was ~75% of the wall, not
+        # the 51M-key aggregation). sample_mod=8 (deterministic hash
+        # sample, unbiased estimator) remains the further lever: ~9 s.
         from building2osm_spark.operators import dedupe as DDop
         from building2osm_spark.sources.fixtures import distributed_documents
 
@@ -577,7 +578,7 @@ def main() -> None:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             distributed_documents(spark, 500_000).write.mode("overwrite").parquet(path)
         prof = DDop.cross_doc_ngram_profile(
-            spark.read.parquet(path), ngram=8, base_hash="xxhash64", sample_mod=8
+            spark.read.parquet(path), ngram=8, base_hash="xxhash64"
         )
         n = prof.filter(F.col("dup_fraction") > 0.5).count()
         extras["ngram_dup_500k_flagged"] = n

@@ -303,16 +303,26 @@ def cross_doc_ngram_profile(
     None (default) is exact and what the driver oracle checks."""
     # distinct at the HASH level (doc_id, h) — the map-side-combinable
     # shape (8-byte keys) and exactly what the SQL oracle computes.
-    # NB deliberately the STRING shingle path for both hashes: exploding
-    # the _shingle_bases polynomial ARRAY inlines its CASE/transform
-    # expression into the Generate operator, which abandons the fast path
-    # (measured: several minutes vs ~108 s end-to-end at 500k docs); the
-    # shuffle-side aggregation dominates the exact path anyway.
     df = df.filter(F.col(text_col).isNotNull())
-    grams = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), ngram)).alias("__g"),
-    ).select(id_col, _base_hash(F.col("__g"), base_hash).alias("__h"))
+    if base_hash == "xxhash64":
+        # string-free scan: the word-hash polynomial array from
+        # _shingle_bases, MATERIALIZED (localCheckpoint) before the
+        # explode. Exploding the live polynomial expression is trap 15b
+        # (CollapseProject inlines the mega-expression into Generate and
+        # abandons the fast path — measured minutes vs ~108 s at 500k);
+        # exploding the checkpointed plain array column is the fast path,
+        # and skipping shingle-STRING construction cuts the scan ~10×.
+        bases = _shingle_bases(df, text_col, id_col, ngram, base_hash)
+        grams = bases.localCheckpoint(eager=False).select(
+            id_col, F.explode("__bases").alias("__h")
+        )
+    else:
+        # md5 hashes the literal shingle strings — bit-reproducible in
+        # ANSI SQL, the exact-oracle anchor; string explode is inherent
+        grams = df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), ngram)).alias("__g"),
+        ).select(id_col, _base_hash(F.col("__g"), base_hash).alias("__h"))
     if sample_mod is not None:
         grams = grams.filter(F.col("__h") % sample_mod == 0)
     grams = grams.distinct()
@@ -371,11 +381,28 @@ def winnow_fingerprints(
     Documents with fewer than `window` n-grams yield their single overall
     minimum (the standard short-document rule), so every non-empty
     document has ≥1 fingerprint.
+
+    Hash input comes from _shingle_bases: positional per-doc base-hash
+    arrays — md5 hashes the literal shingle strings (exact DuckDB oracle),
+    xxhash64 never materializes shingle strings at all (word-hash
+    polynomial; string construction measured ~10× everything else at
+    corpus scale).
+
+    TWO materialization boundaries, both required (measured, round 3):
+    (1) __bases is checkpointed BEFORE the window expression — the
+    window-min lambda references the bases array inside slice(), and
+    Catalyst does not hoist lambda-internal subexpressions, so collapsing
+    would re-evaluate the whole generated bases expression PER WINDOW
+    POSITION (O(len²·k) — the job effectively hangs at 500k docs);
+    (2) __fps is checkpointed BEFORE the explode — exploding a live
+    generated array inlines it into Generate and abandons the codegen
+    fast path (NOTES hard-won fact 15b). The fps arrays are ~2/(w+1) the
+    size of the bases, so the second checkpoint is small.
     """
-    df = df.filter(F.col(text_col).isNotNull())
-    hs = F.transform(
-        word_shingles(F.col(text_col), ngram), lambda s: _base_hash(s, base_hash)
+    with_bases = _shingle_bases(df, text_col, id_col, ngram, base_hash).localCheckpoint(
+        eager=False
     )
+    hs = F.col("__bases")
     n = F.size(hs)
     windows = F.transform(
         F.sequence(F.lit(0), n - window),
@@ -384,7 +411,9 @@ def winnow_fingerprints(
     fps = F.array_distinct(
         F.when(n >= window, windows).otherwise(F.array(F.array_min(hs)))
     )
-    per_doc = df.select(F.col(id_col), fps.alias("__fps")).localCheckpoint(eager=False)
+    per_doc = with_bases.select(F.col(id_col), fps.alias("__fps")).localCheckpoint(
+        eager=False
+    )
     return per_doc.select(id_col, F.explode("__fps").alias("__h"))
 
 
