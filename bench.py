@@ -684,13 +684,20 @@ def main() -> None:
         return rectify_and_simplify(spark.read.parquet(path)).count()
 
     timed("rectify_100k", rectify_100k)
-    timed("image_decode_5k", lambda: __import__(
-        "building2osm_spark.functions.images", fromlist=["decode_features"]
-    ).decode_features(
-        __import__(
-            "building2osm_spark.sources.fixtures", fromlist=["spark_images"]
-        ).spark_images(spark, 5000)
-    ).count())
+    def image_decode_5k():
+        # parquet-materialized input (hard-won fact #2: Catalyst
+        # re-evaluates inline generators — the old inline spark_images()
+        # call re-paid ~150 MB of driver-side image synthesis per action,
+        # measuring the fixture generator instead of the decode kernel)
+        from building2osm_spark.functions.images import decode_features
+        from building2osm_spark.sources.fixtures import spark_images
+
+        path = bench_path("imgs_5k")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            spark_images(spark, 5000).write.mode("overwrite").parquet(path)
+        return decode_features(spark.read.parquet(path)).count()
+
+    timed("image_decode_5k", image_decode_5k)
 
     spark.stop()
 
