@@ -116,6 +116,18 @@ def cmd_merge(args) -> int:
     os.makedirs(args.out, exist_ok=True)
     matches.write.mode("overwrite").parquet(os.path.join(args.out, "matches.parquet"))
     merged.write.mode("overwrite").parquet(os.path.join(args.out, "merged.parquet"))
+    if args.debug:
+        # the reference's full per-OSM-row -debug surface (HAUSDORFF on any
+        # best candidate, IDENTICAL on sub-1m scans, SIZE on area rejects)
+        from .operators.conflate import full_debug_spray
+
+        full_debug_spray(
+            osm, imports,
+            margin_hausdorff=args.maxdist,
+            margin_tagged=args.maxdist / 2.0,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "debug_tags.parquet")
+        )
     # count from the written files — a second action on the lazy plan
     # would re-run the whole conflation
     n = spark.read.parquet(os.path.join(args.out, "merged.parquet")).count()

@@ -75,28 +75,13 @@ def anti_join_earlier_imports(
     return imports.join(F.broadcast(osm_refs), import_ref, "left_anti")
 
 
-def conflate(
-    osm: DataFrame,
-    imports: DataFrame,
-    *,
-    margin_hausdorff: float = MARGIN_HAUSDORFF,
-    margin_tagged: float = MARGIN_TAGGED,
-    margin_area: float = MARGIN_AREA,
-    with_area_rejects: bool = False,
+def _scored_candidates(
+    osm: DataFrame, imports: DataFrame, margin_hausdorff: float
 ) -> DataFrame:
-    """Match OSM buildings to import buildings, mutual-best under thresholds.
-
-    osm columns:     osm_id long, ring array<array<double>> (closed outer
-                     ring), c_lon, c_lat (centre), area long (merge-radius
-                     area, building_merge.py:442), tagged boolean
-                     (building_merge.py:444-448), ref_tag string nullable
-                     (existing ref:bygningsnr tag).
-    imports columns: ref string, ring array<array<double>>, c_lon, c_lat,
-                     area long.
-
-    Returns matches: (osm_id, ref, hausdorff_m, identical) — one row per
-    mutual-best accepted pair.
-    """
+    """Candidate generation + exact bbox flags + Hausdorff scoring — the
+    shared stage under conflate() and full_debug_spray(). Returns
+    (osm_id, i_ref, o_lon/o_lat/o_area/tagged, i_lon/i_lat/i_area,
+    fwd, rev, hausdorff_m), one row per bbox-surviving candidate pair."""
     # J4: drop already-imported refs; skip OSM buildings already reffed
     # Ring payloads are split off the candidate path: the 9-cell exploded
     # join and the bbox filter move only (id, centre, area, flag) tuples —
@@ -171,6 +156,32 @@ def conflate(
         .withColumn("hausdorff_m", hausdorff_udf(F.col("o_ring"), F.col("i_ring")))
         .drop("o_ring", "i_ring")
     )
+    return scored
+
+
+def conflate(
+    osm: DataFrame,
+    imports: DataFrame,
+    *,
+    margin_hausdorff: float = MARGIN_HAUSDORFF,
+    margin_tagged: float = MARGIN_TAGGED,
+    margin_area: float = MARGIN_AREA,
+    with_area_rejects: bool = False,
+) -> DataFrame:
+    """Match OSM buildings to import buildings, mutual-best under thresholds.
+
+    osm columns:     osm_id long, ring array<array<double>> (closed outer
+                     ring), c_lon, c_lat (centre), area long (merge-radius
+                     area, building_merge.py:442), tagged boolean
+                     (building_merge.py:444-448), ref_tag string nullable
+                     (existing ref:bygningsnr tag).
+    imports columns: ref string, ring array<array<double>>, c_lon, c_lat,
+                     area long.
+
+    Returns matches: (osm_id, ref, hausdorff_m, identical) — one row per
+    mutual-best accepted pair.
+    """
+    scored = _scored_candidates(osm, imports, margin_hausdorff)
 
     # W1/W2 in ONE pass over a single lineage: rank the forward pairs per
     # OSM building and the reverse pairs per import building with two
@@ -266,9 +277,9 @@ def conflate_with_tags(
     under 1 m, and writes SIZE into the OSM building's own tags
     (building_merge.py:708-717) — diagnostic spray over rows this
     operator never emits (it returns the match/new/size_reject action
-    table, not the mutated OSM table). Callers needing the reference's
-    full -debug spray should join `conflate(..., with_area_rejects=True)`
-    back onto their OSM table.
+    table, not the mutated OSM table). `full_debug_spray()` below
+    produces that per-OSM-row surface (parity-tested); the CLI merge
+    --debug writes it as debug_tags.parquet.
     """
     from .tags import merged_tags
 
@@ -382,3 +393,107 @@ def identical_pair_count(osm: DataFrame, imports: DataFrame) -> int:
         .filter(F.col("h") < IDENTICAL_MARGIN)
         .count()
     )
+
+
+def full_debug_spray(
+    osm: DataFrame,
+    imports: DataFrame,
+    *,
+    order_col=None,
+    margin_hausdorff: float = MARGIN_HAUSDORFF,
+    margin_tagged: float = MARGIN_TAGGED,
+    margin_area: float = MARGIN_AREA,
+) -> DataFrame:
+    """(osm_id, dbg map<string,string>) — the reference's FULL per-OSM-row
+    -debug diagnostic surface (building_merge.py:705-733), beyond the
+    merged-row subset conflate_with_tags(debug=True) emits:
+
+      HAUSDORFF ' %.2f'  on every scanned OSM building with at least one
+                         forward-bbox candidate — its best (minimum)
+                         Hausdorff, even when thresholds or mutual-best
+                         later reject it (:716-717);
+      IDENTICAL ' %.2f'  the Hausdorff of the LAST scanned candidate under
+                         1 m (:706-708 — the reference overwrites per
+                         candidate, so scan order decides when several
+                         qualify; `order_col` names an import column
+                         reproducing that order, default i_ref ascending —
+                         identical output unless one OSM building has ≥2
+                         sub-1m candidates);
+      SIZE '%.1f'        on OSM buildings whose mutual-best pair passed the
+                         Hausdorff thresholds but failed the area-ratio
+                         gate (:733).
+
+    Greedy-order caveat (same equivalence class as the match set itself,
+    see the module docstring): the reference computes these against the
+    REMAINING import set as earlier matches are removed in scan order;
+    this surface is order-free and computes against the full set. The two
+    agree whenever best matches are unique — parity-tested on fixtures.
+
+    Debug-only path: scores candidates independently of a conflate() call
+    (one extra Hausdorff pass; acceptable for a diagnostic surface).
+    """
+    scored = _scored_candidates(osm, imports, margin_hausdorff).localCheckpoint(
+        eager=False
+    )
+    fwd = scored.filter("fwd")
+    best = fwd.groupBy("osm_id").agg(F.min("hausdorff_m").alias("__best"))
+    order = order_col if order_col is not None else F.col("i_ref")
+    ident = (
+        fwd.filter(F.col("hausdorff_m") < IDENTICAL_MARGIN)
+        .groupBy("osm_id")
+        .agg(F.max_by("hausdorff_m", order).alias("__ident"))
+    )
+    # same windows/thresholds as conflate(); the area gate flips to keep
+    # ONLY the rejects (building_merge.py:733 tags SIZE exactly there)
+    w_fwd = Window.partitionBy("osm_id").orderBy(
+        F.desc("fwd"), F.col("hausdorff_m"), F.col("i_ref")
+    )
+    w_rev = Window.partitionBy("i_ref").orderBy(
+        F.desc("rev"), F.col("hausdorff_m"), F.col("osm_id")
+    )
+    size = (
+        scored.withColumn("rn_fwd", F.row_number().over(w_fwd))
+        .withColumn("rn_rev", F.row_number().over(w_rev))
+        .filter(
+            F.col("fwd") & (F.col("rn_fwd") == 1)
+            & F.col("rev") & (F.col("rn_rev") == 1)
+        )
+        .filter(
+            ((F.col("hausdorff_m") < margin_hausdorff) & ~F.col("tagged"))
+            | (F.col("hausdorff_m") < margin_tagged)
+        )
+        .filter(F.col("hausdorff_m") < margin_hausdorff)
+        .withColumn("__ratio", F.try_divide(F.col("o_area"), F.col("i_area")))
+        .filter(
+            ~F.coalesce(
+                (F.lit(margin_area) < F.col("__ratio"))
+                & (F.col("__ratio") < F.lit(1.0 / margin_area)),
+                F.lit(False),
+            )
+        )
+        .select("osm_id", "__ratio")
+    )
+    dbg = (
+        best.join(ident, "osm_id", "left")
+        .join(size, "osm_id", "left")
+        .select(
+            "osm_id",
+            F.map_filter(
+                F.create_map(
+                    F.lit("HAUSDORFF"),
+                    F.concat(F.lit(" "), format2f_udf(F.col("__best"))),
+                    F.lit("IDENTICAL"),
+                    F.when(
+                        F.col("__ident").isNotNull(),
+                        F.concat(F.lit(" "), format2f_udf(F.col("__ident"))),
+                    ),
+                    F.lit("SIZE"),
+                    F.when(
+                        F.col("__ratio").isNotNull(), format1f_udf(F.col("__ratio"))
+                    ),
+                ),
+                lambda _, v: v.isNotNull(),
+            ).alias("dbg"),
+        )
+    )
+    return dbg

@@ -110,3 +110,14 @@ def test_cli_merge_writes_merged_actions(spark, tmp_path):
     assert merged.count() == n_imports  # every import resolves to modify or new
     mod = merged.filter("action = 'modify'").first()
     assert mod["tags"].get("building")  # merged tag map carries building
+
+    # --debug additionally writes the full per-OSM-row diagnostic surface
+    out3 = str(tmp_path / "out3")
+    rc = cli.main(
+        ["--cores", "4", "merge", "--osm", osm_p, "--imports", imp_p,
+         "--out", out3, "--debug"]
+    )
+    assert rc == 0
+    dbg = spark.read.parquet(os.path.join(out3, "debug_tags.parquet"))
+    tags = [dict(r["dbg"]) for r in dbg.collect()]
+    assert tags and all("HAUSDORFF" in d for d in tags)

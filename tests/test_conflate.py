@@ -79,6 +79,74 @@ def test_conflate_matches_reference(spark):
         assert r.identical == (int(r.ref) % 8 == 0)
 
 
+def test_full_debug_spray_matches_reference(spark):
+    """The per-OSM-row -debug diagnostic surface (HAUSDORFF on any best
+    candidate, IDENTICAL on scanned sub-1m pairs, SIZE on area-gate
+    rejects) must byte-match the reference's tag dict after a debug=True
+    merge_buildings run on the same fixture (unique-best corpus — the
+    order-free formulation's documented equivalence class)."""
+    from building2osm_spark.operators.conflate import full_debug_spray
+
+    osm_pdf, import_pdf = FX.conflation_pdfs(64)
+    ref = __import__("tests.conftest", fromlist=["import_reference"]).import_reference(
+        "building_merge"
+    )
+    osm_buildings = []
+    for _, r in osm_pdf.iterrows():
+        way = {
+            "type": "way",
+            "id": int(r["osm_id"]),
+            "nodes": [],
+            "tags": dict(r["tags"]),
+            "polygon": [tuple(p) for p in r["ring"]],
+            "center": (float(r["c_lon"]), float(r["c_lat"])),
+            "area": int(r["area"]),
+        }
+        if r["tagged"]:
+            way["tagged"] = True
+        osm_buildings.append(way)
+    import_buildings = []
+    for _, r in import_pdf.iterrows():
+        import_buildings.append(
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[tuple(p) for p in r["ring"]]],
+                },
+                "properties": {"building": r["building"], "ref:bygningsnr": r["ref"]},
+                "center": (float(r["c_lon"]), float(r["c_lat"])),
+                "area": int(r["area"]),
+            }
+        )
+    ref.osm_buildings = osm_buildings
+    ref.import_buildings = import_buildings
+    ref.osm_elements = list(osm_buildings)
+    ref.osm_nodes = {}
+    ref.import_nodes = {}
+    ref.osm_id = -1000000
+    ref.debug = True
+    ref.merge_buildings()
+    want = {}
+    for w in osm_buildings:
+        d = {
+            k: v for k, v in w["tags"].items()
+            if k in ("HAUSDORFF", "IDENTICAL", "SIZE")
+        }
+        if d:
+            want[w["id"]] = d
+
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    imports = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA)
+    got = {
+        r["osm_id"]: dict(r["dbg"])
+        for r in full_debug_spray(osm, imports).collect()
+    }
+    assert got == want
+    assert any("SIZE" in d for d in want.values())  # kind-5 rejects present
+    assert any("IDENTICAL" in d for d in want.values())
+
+
 def test_identical_count_matches_reference_semantics(spark):
     osm_pdf, import_pdf = FX.conflation_pdfs(64)
     osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
