@@ -100,18 +100,25 @@ def cmd_merge(args) -> int:
                 F.lit("ref:bygningsnr"), F.col("ref"),
             ).alias("props"),
         )
-    matches = conflate(
+    # ONE conflation run feeds every sink: the checkpointed pair table
+    # (the most expensive stage: candidate join + Hausdorff kernel + two
+    # windows) backs matches.parquet AND merged.parquet via all_pairs
+    # injection (conflate_with_tags would otherwise re-run it)
+    all_pairs = conflate(
         osm, imports,
         margin_hausdorff=args.maxdist,
         margin_tagged=args.maxdist / 2.0,
-        with_area_rejects=args.debug,  # -debug keeps SIZE-rejected pairs
+        with_area_rejects=True,
+    ).localCheckpoint(eager=False)
+    # -debug keeps SIZE-rejected pairs in matches.parquet
+    matches = all_pairs if args.debug else all_pairs.filter("accepted").drop(
+        "area_ratio", "accepted"
     )
     merged = conflate_with_tags(
         osm, imports, import_props,
         remove_addr=args.remove_addr,
         debug=args.debug,
-        margin_hausdorff=args.maxdist,
-        margin_tagged=args.maxdist / 2.0,
+        all_pairs=all_pairs,
     )
     os.makedirs(args.out, exist_ok=True)
     matches.write.mode("overwrite").parquet(os.path.join(args.out, "matches.parquet"))

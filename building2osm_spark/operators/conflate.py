@@ -182,15 +182,35 @@ def conflate(
     mutual-best accepted pair.
     """
     scored = _scored_candidates(osm, imports, margin_hausdorff)
+    mutual = _mutual_best(scored, margin_hausdorff, margin_tagged, margin_area)
+    if with_area_rejects:
+        # every mutual-best pair within thresholds, area gate as a column —
+        # the -debug SIZE surface (building_merge.py:733-734)
+        return mutual
+    return mutual.filter("accepted").drop("area_ratio", "accepted")
 
-    # W1/W2 in ONE pass over a single lineage: rank the forward pairs per
-    # OSM building and the reverse pairs per import building with two
-    # windows on the same frame (fwd/rev rows sort first via desc-boolean;
-    # a non-direction row can only take rank 1 in a partition with no
-    # direction rows, and the direction flag filter below rejects it).
-    # A row with rn_fwd == 1 ∧ rn_rev == 1 IS the mutual best — this
-    # replaces the previous persist + fwd⋈rev self-join (one Hausdorff
-    # evaluation per pair, two window shuffles, no cached blocks, no join).
+
+def _mutual_best(
+    scored: DataFrame,
+    margin_hausdorff: float,
+    margin_tagged: float,
+    margin_area: float,
+) -> DataFrame:
+    """Mutual-best selection + thresholds + area gate over a
+    _scored_candidates frame — shared by conflate() and
+    full_debug_spray() so the SIZE debug surface can never diverge from
+    the match set. Returns (osm_id, ref, hausdorff_m, identical,
+    area_ratio, accepted).
+
+    W1/W2 in ONE pass over a single lineage: rank the forward pairs per
+    OSM building and the reverse pairs per import building with two
+    windows on the same frame (fwd/rev rows sort first via desc-boolean;
+    a non-direction row can only take rank 1 in a partition with no
+    direction rows, and the direction flag filter below rejects it).
+    A row with rn_fwd == 1 ∧ rn_rev == 1 IS the mutual best — this
+    replaces the previous persist + fwd⋈rev self-join (one Hausdorff
+    evaluation per pair, two window shuffles, no cached blocks, no join).
+    """
     w_fwd = Window.partitionBy("osm_id").orderBy(
         F.desc("fwd"), F.col("hausdorff_m"), F.col("i_ref")
     )
@@ -200,7 +220,7 @@ def conflate(
     ranked = scored.withColumn("rn_fwd", F.row_number().over(w_fwd)).withColumn(
         "rn_rev", F.row_number().over(w_rev)
     )
-    mutual = (
+    return (
         ranked.filter(
             F.col("fwd") & (F.col("rn_fwd") == 1)
             & F.col("rev") & (F.col("rn_rev") == 1)
@@ -238,11 +258,6 @@ def conflate(
             "accepted",
         )
     )
-    if with_area_rejects:
-        # every mutual-best pair within thresholds, area gate as a column —
-        # the -debug SIZE surface (building_merge.py:733-734)
-        return mutual
-    return mutual.filter("accepted").drop("area_ratio", "accepted")
 
 
 def conflate_with_tags(
@@ -252,6 +267,7 @@ def conflate_with_tags(
     *,
     remove_addr: bool = False,
     debug: bool = False,
+    all_pairs: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """Full G3 output: matches get merged tag maps (add_building semantics,
@@ -266,6 +282,9 @@ def conflate_with_tags(
     INTENT of building_merge.py:576 (the reference's own line never
     executes the addr branch due to an `or` precedence quirk; default
     False mirrors the reference as-run).
+    all_pairs: a precomputed conflate(..., with_area_rejects=True) frame
+    (checkpointed by the caller) to reuse instead of re-running the
+    candidate join + Hausdorff scoring.
     debug: the reference's -debug tag surface (building_merge.py:708,716,
     733,450): HAUSDORFF ' %.2f' and IDENTICAL ' %.2f' (h < 1 m) on merged
     rows, SIZE '%.1f' rows for mutual-best pairs rejected only by the
@@ -286,10 +305,14 @@ def conflate_with_tags(
     # three consumers read all_pairs (matches→modified, the new-rows
     # anti-join, and the debug size-reject surface) — truncate the lineage
     # so the candidate join + Hausdorff kernel + two windows run once, not
-    # per consumer (eager=False: materializes at the first action)
-    all_pairs = conflate(osm, imports, with_area_rejects=True, **kwargs).localCheckpoint(
-        eager=False
-    )
+    # per consumer (eager=False: materializes at the first action).
+    # Callers that already hold the pair table (the CLI merge writes it as
+    # matches.parquet and feeds it here) inject it via all_pairs — the
+    # most expensive stage then runs once per merge instead of per sink.
+    if all_pairs is None:
+        all_pairs = conflate(
+            osm, imports, with_area_rejects=True, **kwargs
+        ).localCheckpoint(eager=False)
     matches = all_pairs.filter("accepted")
     base_tags = merged_tags(F.col("__osm_tags"), F.col("props"), remove_addr=remove_addr)
     if debug:
@@ -437,41 +460,34 @@ def full_debug_spray(
     )
     fwd = scored.filter("fwd")
     best = fwd.groupBy("osm_id").agg(F.min("hausdorff_m").alias("__best"))
-    order = order_col if order_col is not None else F.col("i_ref")
+    if order_col is None:
+        # numeric-aware default: cadastral refs are variable-length digit
+        # strings, and the reference scans the import file in its own
+        # (ref-ascending for the fixture corpora) order — a plain string
+        # max_by would rank "9" above "10". Numeric refs order by value;
+        # non-numeric refs (try_cast NULL) fall back to the string itself
+        # via the struct's second field.
+        order = F.struct(
+            F.coalesce(
+                F.col("i_ref").try_cast("bigint"),
+                F.lit(-9223372036854775807 - 1),
+            ).alias("n"),
+            F.col("i_ref").alias("s"),
+        )
+    else:
+        order = order_col
     ident = (
         fwd.filter(F.col("hausdorff_m") < IDENTICAL_MARGIN)
         .groupBy("osm_id")
         .agg(F.max_by("hausdorff_m", order).alias("__ident"))
     )
-    # same windows/thresholds as conflate(); the area gate flips to keep
-    # ONLY the rejects (building_merge.py:733 tags SIZE exactly there)
-    w_fwd = Window.partitionBy("osm_id").orderBy(
-        F.desc("fwd"), F.col("hausdorff_m"), F.col("i_ref")
-    )
-    w_rev = Window.partitionBy("i_ref").orderBy(
-        F.desc("rev"), F.col("hausdorff_m"), F.col("osm_id")
-    )
+    # SIZE = the mutual-best rows the area gate rejected — the SAME
+    # _mutual_best stage conflate() uses (building_merge.py:733 tags SIZE
+    # exactly there), so this surface can never diverge from the match set
     size = (
-        scored.withColumn("rn_fwd", F.row_number().over(w_fwd))
-        .withColumn("rn_rev", F.row_number().over(w_rev))
-        .filter(
-            F.col("fwd") & (F.col("rn_fwd") == 1)
-            & F.col("rev") & (F.col("rn_rev") == 1)
-        )
-        .filter(
-            ((F.col("hausdorff_m") < margin_hausdorff) & ~F.col("tagged"))
-            | (F.col("hausdorff_m") < margin_tagged)
-        )
-        .filter(F.col("hausdorff_m") < margin_hausdorff)
-        .withColumn("__ratio", F.try_divide(F.col("o_area"), F.col("i_area")))
-        .filter(
-            ~F.coalesce(
-                (F.lit(margin_area) < F.col("__ratio"))
-                & (F.col("__ratio") < F.lit(1.0 / margin_area)),
-                F.lit(False),
-            )
-        )
-        .select("osm_id", "__ratio")
+        _mutual_best(scored, margin_hausdorff, margin_tagged, margin_area)
+        .filter(~F.col("accepted"))
+        .select("osm_id", F.col("area_ratio").alias("__ratio"))
     )
     dbg = (
         best.join(ident, "osm_id", "left")

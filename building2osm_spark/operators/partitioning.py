@@ -132,11 +132,15 @@ def salted_repartition(
     output (SPARK-23207 class — monotonically_increasing_id/rand as a
     repartition key can duplicate or lose rows under retry).
 
-    Default salt_cols: the atomic (non-nested) columns when any exist,
-    else every hashable column. Atomic-first keeps heavy payloads (ring
-    geometry, signature arrays) out of the per-row hash; the exclusion of
-    map-bearing types is recursive — xxhash64 rejects a MapType anywhere
-    in a struct/array nesting, not just at top level.
+    Default salt_cols: the atomic (non-nested) columns EXCLUDING the cell
+    key when any exist, else every hashable non-cell column. The cell
+    column itself must never be the only salt input — a salt that is a
+    function of the cell is constant within the cell, which silently
+    disables exactly the hot-cell split this operator exists for.
+    Atomic-first keeps heavy payloads (ring geometry, signature arrays)
+    out of the per-row hash; the exclusion of map-bearing types is
+    recursive — xxhash64 rejects a MapType anywhere in a struct/array
+    nesting, not just at top level.
     """
     if salt_cols is None:
         from pyspark.sql.types import ArrayType, AtomicType, MapType, StructType
@@ -151,15 +155,18 @@ def salted_repartition(
             return True
 
         atomic = [
-            f.name for f in df.schema.fields if isinstance(f.dataType, AtomicType)
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, AtomicType) and f.name != cell_col
         ]
         salt_cols = atomic or [
-            f.name for f in df.schema.fields if hashable(f.dataType)
+            f.name for f in df.schema.fields
+            if hashable(f.dataType) and f.name != cell_col
         ]
         if not salt_cols:
             raise ValueError(
-                "salted_repartition: no hashable columns for the default "
-                "salt; pass salt_cols explicitly"
+                "salted_repartition: no hashable non-cell columns for the "
+                "default salt (a cell-derived salt is constant within the "
+                "cell and cannot split it); pass salt_cols explicitly"
             )
     hist = df.groupBy(cell_col).agg(F.count("*").alias("__n"))
     hot = hist.filter(F.col("__n") >= hot_threshold).select(cell_col)

@@ -42,7 +42,7 @@ def building_types(spark: SparkSession, rows=None) -> DataFrame:
     (building2osm.py:338-343) even though the current public CSV carries
     single-tag rows only; `rows` overrides the table for tests."""
     df = spark.createDataFrame(
-        rows or BUILDING_TYPES_ROWS,
+        rows if rows is not None else BUILDING_TYPES_ROWS,
         schema="type_id string, name string, osm_tag string",
     )
     cleaned = F.regexp_replace(F.col("osm_tag"), " ", "")

@@ -56,6 +56,26 @@ def test_salted_repartition_spreads_hot_cell(spark, skewed_points):
     assert max(r["n_rows"] for r in nonempty) < 5000
 
 
+def test_salted_repartition_never_salts_by_cell_alone(spark):
+    """A salt derived from the cell key is constant within the cell —
+    the default must exclude cell_col, and a frame with no other
+    hashable column must refuse rather than silently not split."""
+    import pytest
+
+    # (cell, payload): payload must drive the salt even though cell is
+    # also atomic — one hot cell must still spread
+    df = spark.range(5000).select(
+        F.lit(0).alias("cell"), F.col("id").alias("payload")
+    )
+    out = salted_repartition(df, salt_buckets=8, hot_threshold=1000)
+    n_salts = out.select("salt").distinct().count()
+    assert n_salts >= 4
+
+    only_cell = spark.range(5000).select(F.lit(0).alias("cell"))
+    with pytest.raises(ValueError, match="non-cell"):
+        salted_repartition(only_cell, salt_buckets=8, hot_threshold=1000)
+
+
 def test_snapshot_commit_and_resume(spark, tmp_path):
     store = SnapshotStore(str(tmp_path / "snap"))
     df1 = spark.range(100).select(F.col("id").alias("ref"), (F.col("id") * 2).alias("v"))
