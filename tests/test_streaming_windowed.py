@@ -114,3 +114,27 @@ def test_streaming_dedupe_first_seen(spark, tmp_path):
     got2 = run()
     assert "c" in got2 and got2["c"]["n_duplicates_dropped"] == 0
     assert "a" not in got2  # already emitted in a prior batch
+
+
+def test_streaming_dedupe_long_keys(spark, tmp_path):
+    """Non-string key columns must flow through: the output key field is
+    typed from the stream schema (a hardcoded StringType field fails
+    Arrow conversion on long keys)."""
+    feed = str(tmp_path / "lkeys")
+    ckpt = str(tmp_path / "lckpt")
+    spark.createDataFrame(
+        [(7,), (8,), (7,)], "phash long"
+    ).coalesce(1).write.mode("append").parquet(feed)
+    stream = spark.readStream.schema("phash long").parquet(feed)
+    rows: list = []
+    q = (
+        streaming_dedupe_first_seen(stream, "phash")
+        .writeStream.foreachBatch(lambda df, _: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["key"]: r["n_duplicates_dropped"] for r in rows}
+    assert got == {7: 1, 8: 0}
