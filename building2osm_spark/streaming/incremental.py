@@ -80,3 +80,59 @@ def run_available_now(
         .start()
     )
     query.awaitTermination()
+
+
+def incremental_conflate(
+    spark: SparkSession,
+    imports_dir: str,
+    osm: DataFrame,
+    store: SnapshotStore,
+    *,
+    checkpoint_dir: str,
+    stage: str = "conflate",
+    **conflate_kwargs,
+) -> None:
+    """Resume-safe conflation over a directory feed of import batches:
+    each micro-batch anti-joins the already-committed refs, runs the full
+    G3 merge (conflate_with_tags: mutual-best match + add_building tag
+    merge + action rows) on the NEW import buildings against the static
+    OSM table, and commits the action rows keyed by ref. A crashed or
+    re-triggered run resumes without recomputing or double-committing any
+    ref — the streaming spelling of the reference's idempotent
+    per-municipality re-run (building_merge.py:659-674).
+
+    Scope contract: mutual-best is evaluated between each batch's new
+    imports and the full OSM table. That equals global conflation when
+    batches are geographically disjoint (the reference's workflow —
+    one municipality per file); feeding overlapping geographies in
+    separate batches can split a mutual-best decision across batches.
+
+    Expects import files with the IMPORT_CONFLATE_SCHEMA shape
+    (ref, ring, c_lon, c_lat, area, building); minimal OSM props are
+    synthesized as the CLI merge does for parquet imports.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.conflate import conflate_with_tags
+    from ..sources.fixtures import IMPORT_CONFLATE_SCHEMA
+
+    def transform(new_imports: DataFrame) -> DataFrame:
+        props = new_imports.select(
+            "ref",
+            F.create_map(
+                F.lit("building"), F.col("building"),
+                F.lit("ref:bygningsnr"), F.col("ref"),
+            ).alias("props"),
+        )
+        return conflate_with_tags(osm, new_imports, props, **conflate_kwargs)
+
+    run_available_now(
+        spark,
+        imports_dir,
+        IMPORT_CONFLATE_SCHEMA,
+        store,
+        stage,
+        "ref",
+        checkpoint_dir=checkpoint_dir,
+        transform=transform,
+    )
