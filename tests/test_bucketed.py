@@ -42,3 +42,48 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS t_imgs")
     spark.sql("DROP TABLE IF EXISTS t_covers")
+
+
+def test_bucketed_conflation_drops_ring_exchanges(spark):
+    """The standing-pipeline recipe for repeated conflation against the
+    same base tables: OSM stored bucketed by osm_id and imports by ref
+    makes conflate()'s two ring-payload re-joins read co-located buckets
+    — the exact shuffles that dominate the scoring stage at 1M buildings
+    (NOTES round-3 profile) disappear from the plan. Projection/filter
+    preserve the scan's bucket distribution, so conflate() needs no code
+    awareness of bucketing."""
+    from building2osm_spark.operators.conflate import conflate
+    from building2osm_spark.sources import fixtures as FX
+
+    osm_pdf, import_pdf = FX.conflation_pdfs(64)
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    imp = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA)
+
+    def n_shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # at test scale the planner would broadcast the ring sides (bypassing
+    # bucketing); disable broadcast + AQE to observe the big-table shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plain = n_shuffles(conflate(osm, imp))
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(osm, "t_osm_conf", bucket_col="osm_id", n_buckets=n_buckets)
+        write_bucketed(imp, "t_imp_conf", bucket_col="ref", n_buckets=n_buckets)
+        osm_b = read_bucketed(spark, "t_osm_conf")
+        imp_b = read_bucketed(spark, "t_imp_conf")
+        bucketed = n_shuffles(conflate(osm_b, imp_b))
+        assert bucketed == plain - 2, (plain, bucketed)  # both ring joins
+        # identical result set
+        want = {(r.osm_id, r.ref) for r in conflate(osm, imp).collect()}
+        got = {(r.osm_id, r.ref) for r in conflate(osm_b, imp_b).collect()}
+        assert got == want and want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS t_osm_conf")
+        spark.sql("DROP TABLE IF EXISTS t_imp_conf")

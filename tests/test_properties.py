@@ -102,3 +102,33 @@ def test_rectify_relocation_bound(ring):
     res = GP.rectify_group([[[tuple(p) for p in ring]]])
     if res.status == "done":
         assert res.relocated < 0.2
+
+
+_tag_keys = st.text(
+    alphabet="abcDEF_:", min_size=1, max_size=8
+)
+_tag_maps = st.dictionaries(
+    _tag_keys, st.text(alphabet="xyz0 ", min_size=0, max_size=5), max_size=6
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(pairs=st.lists(st.tuples(_tag_maps, _tag_maps), min_size=1, max_size=10))
+def test_map_update_is_dict_update(spark, pairs):
+    """functions.columns.map_update must equal CPython dict.update for
+    arbitrary (possibly overlapping, possibly empty) string maps under
+    the DEFAULT mapKeyDedupPolicy — the invariant every tag merge in the
+    engine now rests on (no LAST_WIN session dependency)."""
+    from pyspark.sql import functions as F
+
+    from building2osm_spark.functions.columns import map_update
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a map<string,string>, b map<string,string>",
+    )
+    got = {
+        r["i"]: dict(r["m"])
+        for r in df.select("i", map_update(F.col("a"), F.col("b")).alias("m")).collect()
+    }
+    assert got == {i: {**a, **b} for i, (a, b) in enumerate(pairs)}
