@@ -17,7 +17,7 @@ sys.path.insert(0, "/root/repo")
 from building2osm_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = __import__("os").environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
