@@ -23,6 +23,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _write_json_atomic(path: str, obj) -> None:
+    """tmp-file + os.replace: a crash mid-write must never truncate the
+    log/manifest the store exists to recover from (default=str matches
+    _params_hash's serialization, so a params dict that hashed fine can
+    never crash the manifest dump after the data was already written)."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2, default=str)
+    os.replace(tmp, path)
+
+
 def _params_hash(params: dict) -> str:
     return hashlib.sha256(
         json.dumps(params, sort_keys=True, default=str).encode()
@@ -69,16 +80,33 @@ class SnapshotStore:
         # writer task, so per-file counts are the per-partition skew
         # evidence (the part-NNNNN index is the writer partition id).
         df.write.mode("errorifexists").parquet(data_dir)
-        written = df.sparkSession.read.parquet(data_dir)
-        part_counts = sorted(
-            (
-                int(os.path.basename(r["f"]).split("-")[1]),
-                int(r["n_rows"]),
-            )
-            for r in written.groupBy(F.input_file_name().alias("f"))
-            .agg(F.count("*").alias("n_rows"))
-            .collect()
-        )
+        # per-file counts from the parquet FOOTERS (metadata-only): the
+        # previous groupBy(input_file_name) re-scanned every written row —
+        # a second full read of the snapshot on each commit. Multiple
+        # files from one writer task (maxRecordsPerFile) sum into one
+        # partition entry instead of duplicating the id.
+        per_task: dict[int, int] = {}
+        try:
+            import pyarrow.parquet as pq
+
+            for fn in sorted(os.listdir(data_dir)):
+                if not fn.startswith("part-"):
+                    continue
+                pid = int(fn.split("-")[1])
+                n = pq.ParquetFile(os.path.join(data_dir, fn)).metadata.num_rows
+                per_task[pid] = per_task.get(pid, 0) + int(n)
+        except Exception:
+            # non-posix store path or footer read failure: fall back to
+            # the (correct, slower) scan
+            written = df.sparkSession.read.parquet(data_dir)
+            for r in (
+                written.groupBy(F.input_file_name().alias("f"))
+                .agg(F.count("*").alias("n_rows"))
+                .collect()
+            ):
+                pid = int(os.path.basename(r["f"]).split("-")[1])
+                per_task[pid] = per_task.get(pid, 0) + int(r["n_rows"])
+        part_counts = sorted(per_task.items())
 
         manifest = {
             "snapshot_id": snapshot_id,
@@ -94,8 +122,7 @@ class SnapshotStore:
             ],
             "schema": df.schema.jsonValue(),
         }
-        with open(os.path.join(base, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=2)
+        _write_json_atomic(os.path.join(base, "manifest.json"), manifest)
 
         log_path = os.path.join(self.root, stage, "log.json")
         log = []
@@ -103,8 +130,7 @@ class SnapshotStore:
             with open(log_path) as f:
                 log = json.load(f)
         log.append(snapshot_id)
-        with open(log_path, "w") as f:
-            json.dump(log, f)
+        _write_json_atomic(log_path, log)
         return snapshot_id
 
     # -- read ---------------------------------------------------------------
@@ -190,12 +216,41 @@ class SnapshotStore:
         is a DIFFERENT computation: the new snapshot is df alone — unioning
         would duplicate every previously committed key (old-params row +
         recomputed row) and double-count downstream."""
-        spark = df.sparkSession
-        new_rows, resumed = self._resume(spark, df, stage, key_col, params=params)
-        # truncate the lineage so the count below and the commit write read
-        # ONE materialization of the anti-join (not two executions that
-        # could disagree for nondeterministic inputs); eager=False — the
-        # job runs at the count(), not at construction
+        new_rows, resumed = self._resume(
+            df.sparkSession, df, stage, key_col, params=params
+        )
+        return self.commit_increment(
+            new_rows, stage, key_col, params=params, resumed=resumed
+        )
+
+    def commit_increment(
+        self,
+        new_rows: DataFrame,
+        stage: str,
+        key_col: str,
+        *,
+        params: dict | None = None,
+        resumed: bool = True,
+    ) -> tuple[str, int]:
+        """Commit ALREADY-FILTERED new rows (the caller ran _resume/
+        resume_filter — the streaming path filters before its transform
+        and must not pay a second committed-keys anti-join here). resumed
+        carries the caller's _resume decision: False means the previous
+        snapshot belongs to a different computation and is not unioned.
+
+        NULL-key contract (deliberate, pinned by
+        test_null_key_rows_resume_idempotently): NULL is ONE key — the
+        null-safe resume anti-join keeps identical re-runs idempotent
+        (no per-run duplication), with the documented consequence that
+        once any NULL-key row is committed, LATER DISTINCT null-key rows
+        are treated as already-committed and dropped. Stages whose
+        null-key rows carry real data must assign a synthetic key before
+        committing."""
+        spark = new_rows.sparkSession
+        # truncate the lineage so the count and the commit write read ONE
+        # materialization (not re-executions that could disagree for
+        # nondeterministic inputs); eager=False — the job runs at the
+        # first action
         new_rows = new_rows.localCheckpoint(eager=False)
         n_new = new_rows.count()
         prev = self.read(spark, stage) if resumed else None
@@ -234,8 +289,10 @@ class SnapshotStore:
             log = json.load(f)
         keep_last = max(1, keep_last)
         expired, kept = log[:-keep_last], log[-keep_last:]
+        # rewrite the log FIRST (atomically), then delete: a crash between
+        # the two leaves unreferenced dirs (harmless garbage), never a log
+        # entry pointing at a deleted snapshot
+        _write_json_atomic(log_path, kept)
         for sid in expired:
             shutil.rmtree(os.path.join(self.root, stage, sid), ignore_errors=True)
-        with open(log_path, "w") as f:
-            json.dump(kept, f)
         return expired

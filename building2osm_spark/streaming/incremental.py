@@ -29,9 +29,15 @@ def incremental_foreach_batch(
     key_col: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     params: dict | None = None,
+    expire_keep: int | None = None,
 ):
-    """foreachBatch body: anti-join committed keys, apply the stage
-    transform to NEW rows only, commit the union as the next snapshot."""
+    """foreachBatch body: anti-join committed keys ONCE, apply the stage
+    transform to NEW rows only, commit the union as the next snapshot
+    (commit_increment — the commit does not re-run the anti-join the
+    batch already paid). Idempotence under foreachBatch replay holds
+    because the resume filter re-runs first on replay and drops the
+    already-committed keys. expire_keep bounds copy-forward storage by
+    expiring all but the newest N snapshots after each commit."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -39,13 +45,13 @@ def incremental_foreach_batch(
         # Filter committed keys FIRST, then transform: the stage transform
         # only ever touches new rows (the reference's resume never
         # recomputes committed buildings, building_merge.py:659-674).
-        # incremental_commit re-filters afterwards — a no-op on these rows
-        # — so idempotence holds even under foreachBatch replay.
-        new_rows = store.resume_filter(
+        new_rows, resumed = store._resume(
             batch_df.sparkSession, batch_df, stage, key_col, params=params
         )
         out = transform(new_rows) if transform is not None else new_rows
-        store.incremental_commit(out, stage, key_col, params=params)
+        store.commit_increment(out, stage, key_col, params=params, resumed=resumed)
+        if expire_keep is not None:
+            store.expire_snapshots(stage, keep_last=expire_keep)
 
     return body
 
@@ -61,6 +67,8 @@ def run_available_now(
     checkpoint_dir: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     fmt: str = "parquet",
+    params: dict | None = None,
+    expire_keep: int | None = None,
 ) -> None:
     """Drain all currently-available files from input_dir through the
     incremental path and stop (Trigger.AvailableNow): the streaming
@@ -73,7 +81,10 @@ def run_available_now(
     )
     query = (
         stream.writeStream.foreachBatch(
-            incremental_foreach_batch(store, stage, key_col, transform)
+            incremental_foreach_batch(
+                store, stage, key_col, transform,
+                params=params, expire_keep=expire_keep,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -90,6 +101,7 @@ def incremental_conflate(
     *,
     checkpoint_dir: str,
     stage: str = "conflate",
+    expire_keep: int | None = None,
     **conflate_kwargs,
 ) -> None:
     """Resume-safe conflation over a directory feed of import batches:
@@ -113,8 +125,21 @@ def incremental_conflate(
     """
     from pyspark.sql import functions as F
 
+    from ..constants import MARGIN_AREA, MARGIN_HAUSDORFF, MARGIN_TAGGED
     from ..operators.conflate import conflate_with_tags
     from ..sources.fixtures import IMPORT_CONFLATE_SCHEMA
+
+    # the EFFECTIVE config, defaults included: "same defaults, spelled
+    # explicitly" must hash equal to "no kwargs", and any changed margin
+    # must invalidate resume
+    effective = {
+        "margin_hausdorff": MARGIN_HAUSDORFF,
+        "margin_tagged": MARGIN_TAGGED,
+        "margin_area": MARGIN_AREA,
+        "remove_addr": False,
+        "debug": False,
+    }
+    effective.update(conflate_kwargs)
 
     def transform(new_imports: DataFrame) -> DataFrame:
         props = new_imports.select(
@@ -135,4 +160,9 @@ def incremental_conflate(
         "ref",
         checkpoint_dir=checkpoint_dir,
         transform=transform,
+        # the margins ARE the computation's identity: a re-run with
+        # different thresholds must invalidate resume, not silently mix
+        # action rows from two configs in one snapshot chain
+        params=effective,
+        expire_keep=expire_keep,
     )

@@ -113,3 +113,43 @@ def test_incremental_conflate_resume(spark, tmp_path):
     want = {(r["ref"], r["osm_id"], r["action"]) for r in oneshot.collect()}
     got = {(r["ref"], r["osm_id"], r["action"]) for r in final.collect()}
     assert got == want and len(got) > n1
+
+
+def test_foreach_batch_params_invalidate_resume(spark, tmp_path):
+    """A changed stage config must invalidate resume in the STREAMING path
+    too (the params now flow through incremental_foreach_batch /
+    run_available_now): same keys re-committed under new params form a
+    fresh snapshot with no union and no stale lineage, never a mix of two
+    configs; expire_keep bounds the copy-forward chain."""
+    from pyspark.sql import functions as F
+
+    from building2osm_spark.sources.checkpoint import SnapshotStore
+    from building2osm_spark.streaming.incremental import incremental_foreach_batch
+
+    store = SnapshotStore(str(tmp_path / "snapp"))
+    df = spark.range(5).select(F.col("id").alias("ref"), F.lit("a").alias("v"))
+
+    body1 = incremental_foreach_batch(store, "s", "ref", params={"m": 1},
+                                      expire_keep=1)
+    body1(df, 0)
+    body1(df, 1)  # replay/identical batch: nothing new
+    assert store.read(spark, "s").count() == 5
+    assert store.manifest("s")["params"] == {"m": 1}
+
+    body2 = incremental_foreach_batch(
+        store, "s", "ref",
+        transform=lambda d: d.withColumn("v", F.lit("b")),
+        params={"m": 2}, expire_keep=1,
+    )
+    body2(df, 0)
+    final = store.read(spark, "s")
+    assert final.count() == 5  # fresh computation, NOT 10 (no stale union)
+    assert {r["v"] for r in final.collect()} == {"b"}
+    m = store.manifest("s")
+    assert m["params"] == {"m": 2} and m["inputs"] == []
+    # retention: only the newest snapshot dir remains
+    import os as _os
+
+    dirs = [d for d in _os.listdir(str(tmp_path / "snapp" / "s"))
+            if d != "log.json" and not d.startswith(".")]
+    assert len(dirs) == 1
