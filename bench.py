@@ -1,10 +1,16 @@
 """Benchmark harness (BASELINE.md protocol).
 
 Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is
+a compact JSON summary (headline + per-query seconds + per-pillar scaling
+efficiencies) sized to fit the driver's tail capture:
 
   {"metric": "pip_tile_assign_rows_per_sec", "value": N, "unit": "rows/sec",
-   "queries": {name: seconds, ...}, "sf": ..., "scaling": {...}}
+   "queries": {name: sec, ...}, "sf": ..., "scaling": {pillar: {eff,cpu,bw}}}
+
+The full artifact (evidence counts, per-pillar throughputs, host controls)
+is written to bench_full.json next to this file and also printed on the
+line before the summary.
 
 The flagship metric is the BASELINE.json target: spatial-join +
 tile-assignment throughput (points assigned per second) over a synthetic
@@ -730,7 +736,33 @@ def main() -> None:
             result["scaling"] = run_scaling(64_000_000)
         except Exception as e:  # noqa: BLE001 — never lose the JSON line
             result["scaling"] = {"error": str(e)[:200]}
+
+    # Full blob to a sidecar file + stdout (before the summary); the FINAL
+    # stdout line is a compact summary that fits the driver's tail capture
+    # (BENCH_r03 had parsed=null: the single fat line overflowed it).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(result, f)
     print(json.dumps(result))
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": result["sf"],
+    }
+    if isinstance(result.get("scaling"), dict):
+        compact["scaling"] = {
+            name: {
+                "eff": p.get("efficiency"),
+                "cpu": p.get("host_controls", {}).get("cpu_eff"),
+                "bw": p.get("host_controls", {}).get("membw_eff"),
+            }
+            if isinstance(p, dict) and "efficiency" in p
+            else p
+            for name, p in result["scaling"].items()
+        }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -29,6 +29,18 @@ def _spark(args):
     return get_spark(app=f"b2o-{args.cmd}", cores=args.cores)
 
 
+def _geojson_name(debug: bool, verify: bool, original: bool) -> str:
+    """Output filename suffix — the reference's elif chain gives debug
+    precedence over verify over original (building2osm.py:1279-1284)."""
+    if debug:
+        return "buildings_debug.geojson"
+    if verify:
+        return "buildings_verify.geojson"
+    if original:
+        return "buildings_original.geojson"
+    return "buildings.geojson"
+
+
 def cmd_process(args) -> int:
     """building2osm flow: enrich + rectify + simplify + WKB + GeoJSON."""
     from .plans.pipeline import municipality_pipeline
@@ -44,9 +56,7 @@ def cmd_process(args) -> int:
     out = out.localCheckpoint(eager=False)
     os.makedirs(args.out, exist_ok=True)
     out.write.mode("overwrite").parquet(os.path.join(args.out, "buildings.parquet"))
-    # the reference suffixes the output file in -original mode
-    # (building2osm.py:1283-1284)
-    geojson_name = "buildings_original.geojson" if args.original else "buildings.geojson"
+    geojson_name = _geojson_name(args.debug, args.verify, args.original)
     n = write_geojson(
         out.select("ref", "geometry", "tags"),
         os.path.join(args.out, geojson_name),

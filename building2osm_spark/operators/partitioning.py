@@ -132,18 +132,21 @@ def salted_repartition(
     output (SPARK-23207 class — monotonically_increasing_id/rand as a
     repartition key can duplicate or lose rows under retry).
 
-    Default salt_cols: the atomic (non-nested) columns EXCLUDING the cell
-    key when any exist, else every hashable non-cell column. The cell
-    column itself must never be the only salt input — a salt that is a
-    function of the cell is constant within the cell, which silently
-    disables exactly the hot-cell split this operator exists for.
-    Atomic-first keeps heavy payloads (ring geometry, signature arrays)
-    out of the per-row hash; the exclusion of map-bearing types is
-    recursive — xxhash64 rejects a MapType anywhere in a struct/array
-    nesting, not just at top level.
+    Default salt_cols: EVERY hashable non-cell column — atomic AND nested
+    (arrays/structs; map-bearing types are excluded recursively because
+    xxhash64 rejects a MapType anywhere in the nesting). The cell column
+    itself must never be the only salt input — a salt that is a function
+    of the cell is constant within the cell, which silently disables
+    exactly the hot-cell split this operator exists for. An atomic-only
+    default was tried and rejected: a schema whose sole atomic non-cell
+    column is a low-cardinality flag (status booleans next to a nested
+    ring payload) yields a near-constant salt that silently fails to
+    split hot cells. Hashing nested payloads costs more per row; callers
+    that know a cheap high-entropy column (an id) should pass salt_cols
+    explicitly.
     """
     if salt_cols is None:
-        from pyspark.sql.types import ArrayType, AtomicType, MapType, StructType
+        from pyspark.sql.types import ArrayType, MapType, StructType
 
         def hashable(dt) -> bool:
             if isinstance(dt, MapType):
@@ -154,11 +157,7 @@ def salted_repartition(
                 return all(hashable(f.dataType) for f in dt.fields)
             return True
 
-        atomic = [
-            f.name for f in df.schema.fields
-            if isinstance(f.dataType, AtomicType) and f.name != cell_col
-        ]
-        salt_cols = atomic or [
+        salt_cols = [
             f.name for f in df.schema.fields
             if hashable(f.dataType) and f.name != cell_col
         ]

@@ -40,6 +40,16 @@ def _params_hash(params: dict) -> str:
     ).hexdigest()[:16]
 
 
+# Engine-wide version of persisted hash-derived-value SEMANTICS. Bump
+# whenever the value a persisted hash-derived column takes for identical
+# input changes (e.g. round 3's abs(xxhash64)%M → pmod(xxhash64, M) fix
+# changed every fingerprint). Recorded in each manifest and checked on
+# resume: a snapshot committed under an older scheme (or before this field
+# existed) is NOT a prefix of the current computation — resuming onto it
+# would silently mix old- and new-hash rows (ADVICE r3, dedupe.py:84).
+HASH_SCHEME = 2
+
+
 class SnapshotStore:
     """Append-only snapshot store rooted at a directory.
 
@@ -97,7 +107,9 @@ class SnapshotStore:
                 per_task[pid] = per_task.get(pid, 0) + int(n)
         except Exception:
             # non-posix store path or footer read failure: fall back to
-            # the (correct, slower) scan
+            # the (correct, slower) scan — from scratch, or files counted
+            # before the failure would be double-counted
+            per_task = {}
             written = df.sparkSession.read.parquet(data_dir)
             for r in (
                 written.groupBy(F.input_file_name().alias("f"))
@@ -113,6 +125,7 @@ class SnapshotStore:
             "stage": stage,
             "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "params_hash": _params_hash(params or {}),
+            "hash_scheme": HASH_SCHEME,
             "params": params or {},
             "inputs": inputs or [],
             "key_col": key_col,
@@ -171,6 +184,10 @@ class SnapshotStore:
         if m is None or m.get("key_col") != key_col:
             return df, False
         if params is not None and m["params_hash"] != _params_hash(params):
+            return df, False
+        if m.get("hash_scheme") != HASH_SCHEME:
+            # committed under a different (or pre-versioning) hash scheme:
+            # its hash-derived values are incomparable with ours
             return df, False
         committed = (
             self.read(spark, stage)

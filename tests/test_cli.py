@@ -121,3 +121,14 @@ def test_cli_merge_writes_merged_actions(spark, tmp_path):
     dbg = spark.read.parquet(os.path.join(out3, "debug_tags.parquet"))
     tags = [dict(r["dbg"]) for r in dbg.collect()]
     assert tags and all("HAUSDORFF" in d for d in tags)
+
+
+def test_geojson_suffix_precedence():
+    """Reference elif chain (building2osm.py:1279-1284): debug > verify >
+    original — combined flags pick the highest-precedence suffix."""
+    from building2osm_spark.cli import _geojson_name
+
+    assert _geojson_name(True, True, True) == "buildings_debug.geojson"
+    assert _geojson_name(False, True, True) == "buildings_verify.geojson"
+    assert _geojson_name(False, False, True) == "buildings_original.geojson"
+    assert _geojson_name(False, False, False) == "buildings.geojson"

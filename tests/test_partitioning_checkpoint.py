@@ -76,6 +76,20 @@ def test_salted_repartition_never_salts_by_cell_alone(spark):
         salted_repartition(only_cell, salt_buckets=8, hot_threshold=1000)
 
 
+def test_salted_repartition_flag_plus_nested_payload(spark):
+    """ADVICE r3: a schema whose only atomic non-cell column is a
+    constant flag must still split the hot cell — the default salt has
+    to draw entropy from the nested payload, not just atomic columns."""
+    df = spark.range(5000).select(
+        F.lit(0).alias("cell"),
+        F.lit(True).alias("flag"),  # constant atomic — zero entropy
+        F.array(F.col("id"), F.col("id") * 2).alias("payload"),
+    )
+    out = salted_repartition(df, salt_buckets=8, hot_threshold=1000)
+    n_salts = out.select("salt").distinct().count()
+    assert n_salts >= 4
+
+
 def test_snapshot_commit_and_resume(spark, tmp_path):
     store = SnapshotStore(str(tmp_path / "snap"))
     df1 = spark.range(100).select(F.col("id").alias("ref"), (F.col("id") * 2).alias("v"))
@@ -102,6 +116,31 @@ def test_snapshot_commit_and_resume(spark, tmp_path):
     df3 = spark.range(10).select(F.col("id").alias("ref"), F.lit(0).alias("v"))
     filtered = store.resume_filter(spark, df3, "stage_a", "ref", params={"p": 2})
     assert filtered.count() == 10  # params differ → nothing filtered
+
+
+def test_old_hash_scheme_snapshot_invalidates_resume(spark, tmp_path):
+    """ADVICE r3: a snapshot committed under an older hash scheme (e.g.
+    pre-pmod abs(xxhash64)%M fingerprints) must not be resumed onto —
+    its hash-derived values are incomparable. Simulated by rewriting the
+    manifest's hash_scheme, as a pre-versioning snapshot would lack it."""
+    import json as _json
+    import os as _os
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    df1 = spark.range(100).select(F.col("id").alias("ref"), (F.col("id") * 2).alias("v"))
+    store.incremental_commit(df1, "fp", "ref", params={"k": 8})
+
+    sid = store.latest("fp")
+    mpath = _os.path.join(str(tmp_path / "snap"), "fp", sid, "manifest.json")
+    with open(mpath) as f:
+        m = _json.load(f)
+    m["hash_scheme"] = m.get("hash_scheme", 0) - 1
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+
+    # same params, same keys — but the scheme differs: nothing filtered
+    filtered = store.resume_filter(spark, df1, "fp", "ref", params={"k": 8})
+    assert filtered.count() == 100
 
 
 def test_changed_params_commit_is_fresh_not_union(spark, tmp_path):
