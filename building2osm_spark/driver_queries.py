@@ -1630,6 +1630,41 @@ def q_conflate_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conflate_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy tie-semantics conflation (reference insertion-order matching
+    with in-place removal, building_merge.py:680-735) over two corpora:
+    the standard 64-building fixture (where greedy == mutual-best — the
+    unique-best equivalence class) and the removal-cascade corpus (where
+    they legitimately differ: greedy yields 2 matches, mutual-best 1).
+    Parity vs the imported reference in tests/test_conflate_greedy.py;
+    golden-pinned here (sequential greedy is not SQL-expressible)."""
+    from .operators.conflate import conflate_greedy
+    from .sources.fixtures import (
+        IMPORT_CONFLATE_SCHEMA,
+        OSM_CONFLATE_SCHEMA,
+        cascade_conflation_pdfs,
+        conflation_pdfs,
+    )
+
+    outs = []
+    for corpus, (osm_pdf, import_pdf) in (
+        ("std", conflation_pdfs(64)),
+        ("cascade", cascade_conflation_pdfs()),
+    ):
+        osm = spark.createDataFrame(osm_pdf, schema=OSM_CONFLATE_SCHEMA)
+        imports = spark.createDataFrame(import_pdf, schema=IMPORT_CONFLATE_SCHEMA)
+        outs.append(
+            conflate_greedy(osm, imports).select(
+                F.lit(corpus).alias("corpus"),
+                "osm_id",
+                "ref",
+                F.round("hausdorff_m", 4).alias("hausdorff_m"),
+                "identical",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.images import decode_features, verify_against_oracle
     from .sources.fixtures import spark_images
@@ -1755,6 +1790,7 @@ QUERIES = {
     "quality_fingerprint": q_quality_fingerprint,
     "rectify_simplify": q_rectify_simplify,
     "conflate_fixture": q_conflate_fixture,
+    "conflate_greedy": q_conflate_greedy,
     "image_pipeline": q_image_pipeline,
     "raster_overlay": q_raster_overlay,
     "image_phash_buckets": q_image_phash_buckets,
@@ -1826,6 +1862,7 @@ ORACLES.update(
         for name in [
             "rectify_simplify",
             "conflate_fixture",
+            "conflate_greedy",
             "image_pipeline",
             "raster_overlay",
             "image_phash_buckets",

@@ -260,6 +260,217 @@ def _mutual_best(
     )
 
 
+_GREEDY_DRIVER_MAX = 1_000_000  # distinct candidate pairs; ids only, ~60 MB
+
+
+def _pair_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(osm_id, component) over the bipartite candidate-pair graph —
+    component id = min i_ref reachable. Below _GREEDY_DRIVER_MAX distinct
+    pairs: one collect + union-find (ids only — the candidate graph is
+    sparse, ≈1-3 edges per building). Above: alternating min-label
+    propagation (rounds ≈ component diameter / 2), raising on
+    non-convergence rather than silently splitting a component."""
+    e = pairs.select("osm_id", "i_ref").distinct().persist()
+    n = e.count()
+    if n <= _GREEDY_DRIVER_MAX:
+        rows = e.collect()
+        e.unpersist()
+        parent: dict[object, object] = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(("o", r["osm_id"])), find(("i", r["i_ref"]))
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict[object, str] = {}
+        for r in rows:
+            root = find(("o", r["osm_id"]))
+            if comp_min.get(root) is None or r["i_ref"] < comp_min[root]:
+                comp_min[root] = r["i_ref"]
+        mapping = sorted(
+            {(r["osm_id"], comp_min[find(("o", r["osm_id"]))]) for r in rows}
+        )
+        return pairs.sparkSession.createDataFrame(
+            mapping, schema="osm_id long, component string"
+        )
+    lab_o = e.groupBy("osm_id").agg(F.min("i_ref").alias("component")).persist()
+    for _ in range(max_iter):
+        lab_i = (
+            e.join(lab_o, "osm_id")
+            .groupBy("i_ref")
+            .agg(F.min("component").alias("component"))
+        )
+        new_o = (
+            e.join(lab_i, "i_ref")
+            .groupBy("osm_id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_o.join(lab_o.withColumnRenamed("component", "__old"), "osm_id")
+            .filter(F.col("component") != F.col("__old"))
+            .count()
+        )
+        lab_o.unpersist()
+        lab_o = new_o
+        if changed == 0:
+            e.unpersist()
+            return lab_o
+    raise RuntimeError(
+        f"_pair_components: label propagation did not converge in {max_iter} "
+        "rounds — raise max_iter (component diameter exceeds it)"
+    )
+
+
+def conflate_greedy(
+    osm: DataFrame,
+    imports: DataFrame,
+    *,
+    margin_hausdorff: float = MARGIN_HAUSDORFF,
+    margin_tagged: float = MARGIN_TAGGED,
+    margin_area: float = MARGIN_AREA,
+    osm_order_col: str | None = None,
+    import_order_col: str | None = None,
+) -> DataFrame:
+    """conflate() with the reference's exact greedy tie semantics
+    (building_merge.py:680-735): OSM buildings are scanned in insertion
+    order; each takes its best REMAINING import (strict `<`, so the
+    earliest import in list order wins ties), the reverse check scans OSM
+    buildings not yet matched (a matched building's tags gain the import
+    properties — ref:bygningsnr included in the standard building2osm
+    import files — so reverse_match's ref filter excludes it), and an
+    accepted import is removed in place, invisible to later OSM buildings.
+    On corpora with ambiguous ties the default mutual-best conflate() and
+    the reference can count differently; this mode counts identically
+    (parity-tested against the imported reference in
+    tests/test_conflate_greedy.py).
+
+    Spark-first shape: the expensive part — candidate generation + one
+    Hausdorff per surviving pair — is the SAME distributed
+    _scored_candidates stage conflate() uses; only the matching decision
+    is sequential, and it only interacts within connected components of
+    the candidate-pair graph, so the greedy loop runs per component in an
+    applyInPandas kernel (components are a handful of buildings each; a
+    pathological metro-wide chain of overlapping 20 m bboxes would make
+    one big group — document/AQE territory, not expected on real data).
+
+    Scan orders default to osm_id / ref ascending; pass osm_order_col /
+    import_order_col (columns on the inputs) to reproduce a specific file
+    order. Returns the conflate() schema: (osm_id, ref, hausdorff_m,
+    identical)."""
+    import pandas as pd
+
+    scored = _scored_candidates(osm, imports, margin_hausdorff)
+    if osm_order_col is not None:
+        scored = scored.join(
+            osm.select("osm_id", F.col(osm_order_col).alias("__o_ord")), "osm_id"
+        )
+    else:
+        scored = scored.withColumn("__o_ord", F.col("osm_id"))
+    if import_order_col is not None:
+        scored = scored.join(
+            imports.select(
+                F.col("ref").alias("i_ref"),
+                F.col(import_order_col).alias("__i_ord"),
+            ),
+            "i_ref",
+        )
+    else:
+        scored = scored.withColumn("__i_ord", F.col("i_ref"))
+    # one materialization feeds both the component job and the group pass
+    scored = scored.localCheckpoint(eager=False)
+    comp = _pair_components(scored)
+    grouped = scored.join(comp, "osm_id")
+
+    mh, mt, ma, ident = margin_hausdorff, margin_tagged, margin_area, IDENTICAL_MARGIN
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        osm_rows = (
+            pdf[["osm_id", "__o_ord", "tagged", "o_area"]]
+            .drop_duplicates("osm_id")
+            .sort_values(["__o_ord", "osm_id"])
+        )
+        # per-pair lookup and per-side candidate lists pre-sorted by
+        # (h, scan order): strict `<` in the reference's scan keeps the
+        # EARLIEST minimal candidate, which is exactly first-of-this-order
+        fwd = pdf[pdf["fwd"]].sort_values(["hausdorff_m", "__i_ord", "i_ref"])
+        fwd_by_osm = {k: g for k, g in fwd.groupby("osm_id", sort=False)}
+        rev = pdf[pdf["rev"]].sort_values(["hausdorff_m", "__o_ord", "osm_id"])
+        rev_by_imp = {k: g for k, g in rev.groupby("i_ref", sort=False)}
+
+        remaining = set(pdf["i_ref"])
+        matched_osm: set = set()
+        out = {"osm_id": [], "ref": [], "hausdorff_m": [], "identical": []}
+        for osm_id, _, tagged, o_area in osm_rows.itertuples(index=False):
+            cands = fwd_by_osm.get(osm_id)
+            if cands is None:
+                continue
+            alive = cands[cands["i_ref"].isin(remaining)]
+            if not len(alive):
+                continue
+            best = alive.iloc[0]
+            best_h = float(best["hausdorff_m"])
+            if not ((best_h < mh and not tagged) or best_h < mt):
+                continue
+            # reverse: best not-yet-matched OSM building for this import
+            rcands = rev_by_imp.get(best["i_ref"])
+            if rcands is None:
+                continue
+            ralive = rcands[~rcands["osm_id"].isin(matched_osm)]
+            if not len(ralive):
+                continue
+            rbest = ralive.iloc[0]
+            if rbest["osm_id"] != osm_id or not (
+                float(rbest["hausdorff_m"]) < mh
+            ):
+                continue
+            i_area = float(best["i_area"])
+            # reference divides unguarded (a 0-area import would raise
+            # there); mirror conflate()'s engine contract: rejected
+            if i_area == 0 or not (ma < float(o_area) / i_area < 1.0 / ma):
+                continue
+            out["osm_id"].append(osm_id)
+            out["ref"].append(best["i_ref"])
+            out["hausdorff_m"].append(best_h)
+            out["identical"].append(best_h < ident)
+            remaining.discard(best["i_ref"])
+            matched_osm.add(osm_id)
+        return pd.DataFrame(out)
+
+    return grouped.groupBy("component").applyInPandas(
+        kernel,
+        schema="osm_id long, ref string, hausdorff_m double, identical boolean",
+    )
+
+
+def conflate_from_base(
+    spark,
+    prefix: str = "conf_base",
+    **kwargs,
+) -> DataFrame:
+    """Standing-pipeline conflation over a bucketed base written by
+    sources.bucketed.write_conflation_base(prefix=...): reads
+    <prefix>_osm (bucketed by osm_id) and <prefix>_imports (bucketed by
+    ref) and runs conflate(). The bucket metadata makes the two
+    ring-payload re-joins of the scoring stage — the dominant shuffles at
+    city scale — read co-located buckets instead of exchanging
+    (plan-asserted: tests/test_bucketed.py). kwargs pass through to
+    conflate(), so margin re-runs against the same base stay
+    exchange-free."""
+    from ..sources.bucketed import read_bucketed
+
+    osm = read_bucketed(spark, f"{prefix}_osm")
+    imports = read_bucketed(spark, f"{prefix}_imports")
+    return conflate(osm, imports, **kwargs)
+
+
 def conflate_with_tags(
     osm: DataFrame,
     imports: DataFrame,

@@ -364,6 +364,7 @@ def winnow_fingerprints(
     ngram: int = 8,
     window: int = 8,
     base_hash: str = "md5",
+    kernel: str = "native",
 ) -> DataFrame:
     """(id, __h) — the document's DISTINCT winnowing fingerprints
     (Schleimer/Wilkerson/Aiken, SIGMOD'03): the set of minima over every
@@ -404,6 +405,42 @@ def winnow_fingerprints(
     fast path (NOTES hard-won fact 15b). The fps arrays are ~2/(w+1) the
     size of the bases, so the second checkpoint is small.
     """
+    if kernel == "arrow":
+        # Arrow form (zero checkpoints): the mapInPandas boundary already
+        # isolates the generated bases expression from the window-min
+        # (no lambda re-evaluation hazard) and emits exploded (id, __h)
+        # rows directly (no pre-explode array to truncate). numpy
+        # sliding_window_view gives the per-doc window minima in one
+        # vectorized pass. Measured vs the native form at 500k docs —
+        # see BASELINE.md round 4 — and kept as an option either way.
+        import numpy as np
+        import pandas as pd
+
+        win = window
+
+        def fps_kernel(batches):
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            for pdf in batches:
+                ids, hs_out = [], []
+                for doc_id, bases in zip(pdf[id_col], pdf["__bases"]):
+                    arr = np.asarray(bases, dtype=np.int64)
+                    if arr.size == 0:
+                        continue
+                    if arr.size >= win:
+                        fps = np.unique(sliding_window_view(arr, win).min(axis=1))
+                    else:
+                        fps = arr.min(keepdims=True)
+                    ids.append(np.full(fps.size, doc_id, dtype=object))
+                    hs_out.append(fps)
+                if ids:
+                    yield pd.DataFrame(
+                        {id_col: np.concatenate(ids), "__h": np.concatenate(hs_out)}
+                    )
+
+        bases_df = _shingle_bases(df, text_col, id_col, ngram, base_hash)
+        id_t = bases_df.schema[id_col].dataType.simpleString()
+        return bases_df.mapInPandas(fps_kernel, schema=f"{id_col} {id_t}, __h long")
     with_bases = _shingle_bases(df, text_col, id_col, ngram, base_hash).localCheckpoint(
         eager=False
     )
@@ -429,6 +466,7 @@ def winnowed_ngram_profile(
     ngram: int = 8,
     window: int = 8,
     base_hash: str = "md5",
+    kernel: str = "native",
 ) -> DataFrame:
     """(id, n_fingerprints, dup_fingerprints, dup_fraction) — the
     cross-document duplication profile over winnowing fingerprints: the
@@ -442,7 +480,7 @@ def winnowed_ngram_profile(
     the whole computation has an exact DuckDB oracle (window-function
     formulation — an independent implementation of the same selection).
     """
-    fp = winnow_fingerprints(df, text_col, id_col, ngram, window, base_hash)
+    fp = winnow_fingerprints(df, text_col, id_col, ngram, window, base_hash, kernel)
     counts = fp.groupBy("__h").agg(F.count("*").alias("__docs"))
     return (
         fp.join(counts, "__h")

@@ -63,3 +63,35 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — bucket metadata survives, so joins/aggregations on
     the bucket column skip their exchange."""
     return spark.table(table)
+
+
+def write_conflation_base(
+    osm: DataFrame,
+    imports: DataFrame,
+    *,
+    prefix: str = "conf_base",
+    n_buckets: int | None = None,
+) -> tuple[str, str]:
+    """Persist the standing-pipeline conflation base: `osm` bucketed by
+    osm_id as <prefix>_osm and `imports` bucketed by ref as
+    <prefix>_imports.
+
+    These are exactly the keys of conflate()'s two ring-payload re-joins
+    (operators/conflate.py _scored_candidates) — the dominant shuffles of
+    the scoring stage at city scale (NOTES round-3 profile: two 1M-ring
+    exchanges of the 5.2 s scoring stage). A bucketed scan's projection/
+    filter chain preserves the bucket distribution, so conflate() picks
+    the exchange-free plan with no code awareness (plan-asserted in
+    tests/test_bucketed.py). Pay this write once; every subsequent
+    conflation against the same base (nightly imports vs a stable OSM
+    snapshot, or re-runs at new margins) skips both ring exchanges via
+    operators.conflate.conflate_from_base.
+
+    n_buckets defaults to spark.sql.shuffle.partitions so the probe
+    side's exchange partitioning lines up with the buckets.
+    """
+    spark = osm.sparkSession
+    n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed(osm, f"{prefix}_osm", bucket_col="osm_id", n_buckets=n)
+    write_bucketed(imports, f"{prefix}_imports", bucket_col="ref", n_buckets=n)
+    return f"{prefix}_osm", f"{prefix}_imports"

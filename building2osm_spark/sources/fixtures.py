@@ -407,6 +407,62 @@ def subdivisions_pdf(nx: int = 4, ny: int = 4, plain: bool = False) -> pd.DataFr
 # conflation fixture (FIXTURES.md §6)
 # ---------------------------------------------------------------------------
 
+def cascade_conflation_pdfs():
+    """(osm_pdf, import_pdf) — the removal-cascade corpus where the
+    reference's greedy insertion-order matching (building_merge.py:680-735)
+    and the order-free mutual-best formulation legitimately disagree:
+
+      import A at x=0 m, import B at x=-7 m,
+      OSM O1 (osm_id 1) at x=+2 m (Hausdorff to A = 2 m, to B = 9 m),
+      OSM O2 (osm_id 2) at x=-3 m (to A = 3 m, to B = 4 m).
+
+    Greedy: O1 scans first, takes A (its best; A's reverse best is O1)
+    and REMOVES it, so O2 then takes B → two matches. Mutual-best: O2's
+    rank-1 candidate is A (3 < 4) but A's reverse best is O1, so O2
+    matches nothing → one match. Drives conflate_greedy's parity test
+    and the conflate_greedy driver query."""
+    import math
+
+    lat0 = 59.9
+    m_lat = 1.0 / 111_320.0
+    m_lon = m_lat / math.cos(math.radians(lat0))
+
+    def square(cx_m: float, side_m: float = 10.0):
+        h = side_m / 2.0
+        pts = [(cx_m - h, -h), (cx_m + h, -h), (cx_m + h, h), (cx_m - h, h),
+               (cx_m - h, -h)]
+        ring = [[10.7 + x * m_lon, lat0 + y * m_lat] for x, y in pts]
+        return ring, (10.7 + cx_m * m_lon, lat0)
+
+    a_ring, a_c = square(0.0)
+    b_ring, b_c = square(-7.0)
+    o1_ring, o1_c = square(2.0)
+    o2_ring, o2_c = square(-3.0)
+    osm_pdf = pd.DataFrame(
+        {
+            "osm_id": [1, 2],
+            "ring": [o1_ring, o2_ring],
+            "c_lon": [o1_c[0], o2_c[0]],
+            "c_lat": [o1_c[1], o2_c[1]],
+            "area": [100, 100],
+            "tagged": [False, False],
+            "ref_tag": [None, None],
+            "tags": [{"building": "yes"}, {"building": "yes"}],
+        }
+    )
+    import_pdf = pd.DataFrame(
+        {
+            "ref": ["A", "B"],
+            "ring": [a_ring, b_ring],
+            "c_lon": [a_c[0], b_c[0]],
+            "c_lat": [a_c[1], b_c[1]],
+            "area": [100, 100],
+            "building": ["house", "house"],
+        }
+    )
+    return osm_pdf, import_pdf
+
+
 def conflation_pdfs(n: int = 64, seed: int = 42):
     """(osm_pdf, import_pdf) exercising every conflation gate: identical,
     small/medium offsets, tagged-margin rejection, far offsets, area-ratio

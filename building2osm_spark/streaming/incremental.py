@@ -30,6 +30,8 @@ def incremental_foreach_batch(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     params: dict | None = None,
     expire_keep: int | None = None,
+    pre_commit: Callable[[DataFrame], None] | None = None,
+    post_commit: Callable[[DataFrame], None] | None = None,
 ):
     """foreachBatch body: anti-join committed keys ONCE, apply the stage
     transform to NEW rows only, commit the union as the next snapshot
@@ -37,7 +39,13 @@ def incremental_foreach_batch(
     batch already paid). Idempotence under foreachBatch replay holds
     because the resume filter re-runs first on replay and drops the
     already-committed keys. expire_keep bounds copy-forward storage by
-    expiring all but the newest N snapshots after each commit."""
+    expiring all but the newest N snapshots after each commit.
+
+    pre_commit/post_commit: optional hooks receiving the resume-filtered
+    NEW rows before the transform and after a successful commit — the
+    seam for batch-contract guards (e.g. incremental_conflate's
+    geography-overlap check) that must observe each batch without
+    entangling with the commit path."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -48,10 +56,14 @@ def incremental_foreach_batch(
         new_rows, resumed = store._resume(
             batch_df.sparkSession, batch_df, stage, key_col, params=params
         )
+        if pre_commit is not None:
+            pre_commit(new_rows)
         out = transform(new_rows) if transform is not None else new_rows
         store.commit_increment(out, stage, key_col, params=params, resumed=resumed)
         if expire_keep is not None:
             store.expire_snapshots(stage, keep_last=expire_keep)
+        if post_commit is not None:
+            post_commit(new_rows)
 
     return body
 
@@ -69,6 +81,8 @@ def run_available_now(
     fmt: str = "parquet",
     params: dict | None = None,
     expire_keep: int | None = None,
+    pre_commit: Callable[[DataFrame], None] | None = None,
+    post_commit: Callable[[DataFrame], None] | None = None,
 ) -> None:
     """Drain all currently-available files from input_dir through the
     incremental path and stop (Trigger.AvailableNow): the streaming
@@ -84,6 +98,7 @@ def run_available_now(
             incremental_foreach_batch(
                 store, stage, key_col, transform,
                 params=params, expire_keep=expire_keep,
+                pre_commit=pre_commit, post_commit=post_commit,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -91,6 +106,76 @@ def run_available_now(
         .start()
     )
     query.awaitTermination()
+
+
+def _geography_overlap_guard(store: SnapshotStore, stage: str, on_overlap: str):
+    """(pre_commit, post_commit) hooks enforcing incremental_conflate's
+    disjoint-geography batch contract: each batch's import centres are
+    hashed to CONFLATE_RES (~150 m) cells; a batch that reuses a cell a
+    previous batch committed is overlapping geography — per-batch-local
+    mutual-best can then silently diverge from global conflation, so the
+    guard warns (default) or fails fast instead of staying silent
+    (VERDICT r3 #8).
+
+    Committed cells live in <root>/<stage>/committed_cells.json, written
+    atomically AFTER the data commit: a crash between commit and record
+    means the replay sees zero new keys → empty cell set → no record
+    (that batch's cells go unguarded — the advisory-guard tradeoff,
+    chosen over spuriously firing on every replay). Borders are fuzzy at
+    cell width: two truly disjoint municipalities sharing a 150 m border
+    cell trip the guard — hence warn, not raise, by default."""
+    import json
+    import os
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from ..functions.columns import cell_id_col
+    from ..operators.conflate import CONFLATE_RES
+    from ..sources.checkpoint import _write_json_atomic
+
+    path = os.path.join(store.root, stage, "committed_cells.json")
+    pending: dict[str, set] = {"cells": set()}
+
+    def _committed() -> set:
+        if os.path.exists(path):
+            with open(path) as f:
+                return set(json.load(f))
+        return set()
+
+    def pre_commit(new_rows: DataFrame) -> None:
+        cells = {
+            r["c"]
+            for r in new_rows.select(
+                cell_id_col(F.col("c_lon"), F.col("c_lat"), CONFLATE_RES).alias("c")
+            )
+            .distinct()
+            .collect()
+        }
+        pending["cells"] = cells
+        if not cells or on_overlap == "ignore":
+            return
+        overlap = cells & _committed()
+        if overlap:
+            msg = (
+                f"incremental_conflate[{stage}]: batch geography overlaps "
+                f"{len(overlap)} previously committed ~150 m cells — "
+                "mutual-best is per-batch-local, so matches across this "
+                "overlap may diverge from a one-shot conflation. Feed "
+                "geographically disjoint batches (one municipality per "
+                "file), or conflate the union in one batch."
+            )
+            if on_overlap == "error":
+                raise ValueError(msg)
+            warnings.warn(msg, stacklevel=2)
+
+    def post_commit(new_rows: DataFrame) -> None:
+        if not pending["cells"]:
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _write_json_atomic(path, sorted(_committed() | pending["cells"]))
+
+    return pre_commit, post_commit
 
 
 def incremental_conflate(
@@ -102,6 +187,7 @@ def incremental_conflate(
     checkpoint_dir: str,
     stage: str = "conflate",
     expire_keep: int | None = None,
+    on_overlap: str = "warn",
     **conflate_kwargs,
 ) -> None:
     """Resume-safe conflation over a directory feed of import batches:
@@ -118,6 +204,11 @@ def incremental_conflate(
     batches are geographically disjoint (the reference's workflow —
     one municipality per file); feeding overlapping geographies in
     separate batches can split a mutual-best decision across batches.
+    The contract is now ENFORCED by a cheap committed-cell check
+    (_geography_overlap_guard): on_overlap='warn' (default) warns,
+    'error' fails the batch fast, 'ignore' disables the check (it does
+    not affect the computation, so it is deliberately outside the
+    resume-invalidating params hash).
 
     Expects import files with the IMPORT_CONFLATE_SCHEMA shape
     (ref, ring, c_lon, c_lat, area, building); minimal OSM props are
@@ -151,6 +242,7 @@ def incremental_conflate(
         )
         return conflate_with_tags(osm, new_imports, props, **conflate_kwargs)
 
+    pre_commit, post_commit = _geography_overlap_guard(store, stage, on_overlap)
     run_available_now(
         spark,
         imports_dir,
@@ -165,4 +257,6 @@ def incremental_conflate(
         # action rows from two configs in one snapshot chain
         params=effective,
         expire_keep=expire_keep,
+        pre_commit=pre_commit,
+        post_commit=post_commit,
     )

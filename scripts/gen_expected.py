@@ -31,6 +31,7 @@ GOLDEN_DIR = "/root/repo/tests/golden/driver"
 NAMES = [
     "rectify_simplify",
     "conflate_fixture",
+    "conflate_greedy",
     "image_pipeline",
     "raster_overlay",
     "image_phash_buckets",

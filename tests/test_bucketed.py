@@ -71,19 +71,24 @@ def test_bucketed_conflation_drops_ring_exchanges(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         plain = n_shuffles(conflate(osm, imp))
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        write_bucketed(osm, "t_osm_conf", bucket_col="osm_id", n_buckets=n_buckets)
-        write_bucketed(imp, "t_imp_conf", bucket_col="ref", n_buckets=n_buckets)
-        osm_b = read_bucketed(spark, "t_osm_conf")
-        imp_b = read_bucketed(spark, "t_imp_conf")
-        bucketed = n_shuffles(conflate(osm_b, imp_b))
+        # the public standing-pipeline API (VERDICT r3 #3): one base
+        # write, then conflate_from_base picks the exchange-free plan
+        from building2osm_spark.operators.conflate import conflate_from_base
+        from building2osm_spark.sources.bucketed import write_conflation_base
+
+        names = write_conflation_base(osm, imp, prefix="t_conf")
+        assert names == ("t_conf_osm", "t_conf_imports")
+        bucketed = n_shuffles(conflate_from_base(spark, prefix="t_conf"))
         assert bucketed == plain - 2, (plain, bucketed)  # both ring joins
         # identical result set
         want = {(r.osm_id, r.ref) for r in conflate(osm, imp).collect()}
-        got = {(r.osm_id, r.ref) for r in conflate(osm_b, imp_b).collect()}
+        got = {
+            (r.osm_id, r.ref)
+            for r in conflate_from_base(spark, prefix="t_conf").collect()
+        }
         assert got == want and want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.sql("DROP TABLE IF EXISTS t_osm_conf")
-        spark.sql("DROP TABLE IF EXISTS t_imp_conf")
+        spark.sql("DROP TABLE IF EXISTS t_conf_osm")
+        spark.sql("DROP TABLE IF EXISTS t_conf_imports")

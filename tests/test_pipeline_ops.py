@@ -144,6 +144,13 @@ def test_winnow_fingerprints_match_bruteforce(spark):
         got.setdefault(r["doc_id"], set()).add(r["__h"])
     assert got == {i: brute(t) for i, t in enumerate(texts)}
 
+    # the Arrow sliding_window_view kernel (checkpoint-free variant) must
+    # select the identical fingerprint value sets
+    got_arrow = {}
+    for r in D.winnow_fingerprints(df, ngram=ngram, window=w, kernel="arrow").collect():
+        got_arrow.setdefault(r["doc_id"], set()).add(r["__h"])
+    assert got_arrow == got
+
 
 def test_winnow_coverage_guarantee(spark):
     """The absolute coverage property: any two documents sharing a run of

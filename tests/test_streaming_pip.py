@@ -153,3 +153,49 @@ def test_foreach_batch_params_invalidate_resume(spark, tmp_path):
     dirs = [d for d in _os.listdir(str(tmp_path / "snapp" / "s"))
             if d != "log.json" and not d.startswith(".")]
     assert len(dirs) == 1
+
+
+def test_incremental_conflate_overlap_guard(spark, tmp_path):
+    """VERDICT r3 #8: feeding overlapping geography in separate batches
+    violates the disjoint-batch contract — the committed-cell guard must
+    warn (default) or fail fast (on_overlap='error') instead of silently
+    producing per-batch-local matches."""
+    import warnings as _warnings
+
+    import pytest
+
+    from building2osm_spark.sources.checkpoint import SnapshotStore
+    from building2osm_spark.streaming.incremental import incremental_conflate
+    from tests.test_conflate_greedy import _cascade_fixture
+
+    osm_pdf, import_pdf = _cascade_fixture()
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    # batch 2 reuses batch 1's exact geography under a new ref — the
+    # strongest overlap (same centre cell)
+    batch1 = import_pdf.iloc[:1]
+    batch2 = import_pdf.iloc[:1].assign(ref=["Z"])
+
+    def run(tag, batch, **kw):
+        in_dir = str(tmp_path / f"imp_{tag}")
+        spark.createDataFrame(batch, schema=FX.IMPORT_CONFLATE_SCHEMA).write.mode(
+            "append"
+        ).parquet(in_dir)
+        incremental_conflate(
+            spark, in_dir, osm, kw.pop("store"),
+            checkpoint_dir=str(tmp_path / f"ck_{tag}"), **kw,
+        )
+
+    # warn path
+    store = SnapshotStore(str(tmp_path / "snap_w"))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # batch 1 must NOT warn
+        run("w1", batch1, store=store)
+    with pytest.warns(UserWarning, match="overlaps"):
+        run("w2", batch2, store=store)
+
+    # fail-fast path
+    store2 = SnapshotStore(str(tmp_path / "snap_e"))
+    run("e1", batch1, store=store2, on_overlap="error")
+    with pytest.raises(Exception) as ei:
+        run("e2", batch2, store=store2, on_overlap="error")
+    assert "overlaps" in str(ei.value)
