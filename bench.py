@@ -508,26 +508,63 @@ def main() -> None:
     def conflate_city_1m_bucketed():
         # the standing-pipeline form (VERDICT r3 #3): same 1M input as
         # conflate_city_1m, read from a bucketed base (osm by osm_id,
-        # imports by ref) — the two ring-payload exchanges of the scoring
-        # stage disappear from the plan (tests/test_bucketed.py asserts
-        # it). The base write happens once per fixture generation, outside
-        # the timing: that is the recipe's contract — pay one bucketed
-        # write, every later conflation run skips both ring shuffles.
+        # imports by ref). Measured under autoBroadcastJoinThreshold=-1
+        # — the at-scale join regime where ring tables exceed any
+        # broadcast budget (at default configs this fixture's squares
+        # compress under 10 MB and the planner broadcasts the rings,
+        # making bucketing moot). The plan drops both ring exchanges
+        # (10 vs 12, plan-asserted in tests/test_bucketed.py); the
+        # extras record the plain no-broadcast control from the same
+        # session. HONEST LOCAL-MODE CAVEAT (BASELINE.md round 4): in a
+        # single JVM a shuffle is a memcpy, so the saved exchanges are
+        # wall-noise here even at 4x ring payload — the recipe's win is
+        # the 2 fewer NETWORK transfers per run on a real cluster, which
+        # local[32] structurally cannot exhibit.
         from building2osm_spark.operators.conflate import conflate_from_base
         from building2osm_spark.sources.bucketed import write_conflation_base
 
         osm_p = bench_path("osm_city1m")
         imp_p = bench_path("imp_city1m")  # created by conflate_city_1m above
         prefix = f"conf1m_{_TAG_CACHE[0]}"
-        if not spark.catalog.tableExists(f"{prefix}_osm"):
-            write_conflation_base(
-                spark.read.parquet(osm_p), spark.read.parquet(imp_p), prefix=prefix
-            )
-        n = conflate_from_base(spark, prefix=prefix).count()
-        extras["conflate_city_1m_bucketed_matches"] = n
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            if not spark.catalog.tableExists(f"{prefix}_osm"):
+                write_conflation_base(
+                    spark.read.parquet(osm_p), spark.read.parquet(imp_p),
+                    prefix=prefix,
+                )
+            n = conflate_from_base(spark, prefix=prefix).count()
+            extras["conflate_city_1m_bucketed_matches"] = n
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         return n
 
     timed("conflate_city_1m_bucketed", conflate_city_1m_bucketed)
+
+    def plain_nobroadcast_control():
+        # same-session control for the entry above: the plain path under
+        # the same no-broadcast regime (warm-up + timed, own clock so the
+        # bucketed timing never includes it)
+        from building2osm_spark.operators.conflate import conflate
+
+        osm_p, imp_p = bench_path("osm_city1m"), bench_path("imp_city1m")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            job = lambda: conflate(  # noqa: E731
+                spark.read.parquet(osm_p), spark.read.parquet(imp_p)
+            ).count()
+            job()
+            t0 = time.time()
+            job()
+            extras["conflate_city_1m_nobroadcast_plain_sec"] = round(
+                time.time() - t0, 3
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    plain_nobroadcast_control()
 
     def minhash_fast():
         # engine fast path: xxhash64 base hash (the md5 default exists for
@@ -686,6 +723,9 @@ def main() -> None:
         # set — the ~51M-key aggregation runs on ~4.5x fewer keys with an
         # ABSOLUTE coverage guarantee for shared runs of >= w+n-1 words
         # (mod-sampling misses a length-k shared run with prob (1-1/m)^k).
+        # Round 4: selection runs the Arrow sliding_window_view kernel by
+        # default (measured 14.1 vs 20.4 s warm at 500k, identical
+        # values, zero checkpoints — BASELINE.md round-4 section).
         from building2osm_spark.operators import dedupe as DDop
 
         path = bench_path("docs_500k")

@@ -364,7 +364,7 @@ def winnow_fingerprints(
     ngram: int = 8,
     window: int = 8,
     base_hash: str = "md5",
-    kernel: str = "native",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """(id, __h) — the document's DISTINCT winnowing fingerprints
     (Schleimer/Wilkerson/Aiken, SIGMOD'03): the set of minima over every
@@ -406,13 +406,18 @@ def winnow_fingerprints(
     size of the bases, so the second checkpoint is small.
     """
     if kernel == "arrow":
-        # Arrow form (zero checkpoints): the mapInPandas boundary already
-        # isolates the generated bases expression from the window-min
-        # (no lambda re-evaluation hazard) and emits exploded (id, __h)
-        # rows directly (no pre-explode array to truncate). numpy
+        # DEFAULT (adopted on measurement, VERDICT r3 #7 — BASELINE.md
+        # round 4): 14.1 s vs the native form's 20.4 s warm at 500k docs,
+        # identical value sets (equivalence-tested), and ZERO checkpoints
+        # — the mapInPandas boundary isolates the generated bases
+        # expression from the window-min (no lambda re-evaluation
+        # hazard, NOTES fact 18) and emits exploded (id, __h) rows
+        # directly (no pre-explode array to truncate, fact 15b). numpy
         # sliding_window_view gives the per-doc window minima in one
-        # vectorized pass. Measured vs the native form at 500k docs —
-        # see BASELINE.md round 4 — and kept as an option either way.
+        # vectorized pass; the selection stays map-only, so the 100 TB
+        # shape is unchanged. kernel='native' keeps the all-JVM form
+        # (two localCheckpoints) for sessions that must avoid Python
+        # workers entirely.
         import numpy as np
         import pandas as pd
 
@@ -466,7 +471,7 @@ def winnowed_ngram_profile(
     ngram: int = 8,
     window: int = 8,
     base_hash: str = "md5",
-    kernel: str = "native",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """(id, n_fingerprints, dup_fingerprints, dup_fraction) — the
     cross-document duplication profile over winnowing fingerprints: the

@@ -53,6 +53,15 @@ def write_bucketed(
         fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if fs.exists(path):
             fs.delete(path, True)
+    # Repartition on the bucket key FIRST (same murmur3 hash as bucketBy):
+    # each writer task then holds exactly one bucket → n_buckets files.
+    # Without it every writer task spills a file per bucket it touches
+    # (tasks × buckets files — measured 2049 files and +65% bytes at 1M
+    # rows vs 32 files after this fix; the scan penalty made the bucketed
+    # 1M conflation SLOWER than the exchange it saved).
+    from pyspark.sql import functions as F
+
+    df = df.repartition(n_buckets, F.col(bucket_col))
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
