@@ -287,3 +287,75 @@ def uncompact(cells: np.ndarray, res: int) -> np.ndarray:
             r += 1
         pieces.append(cur)
     return np.concatenate(pieces) if pieces else cells
+
+
+def compact_flags(
+    cell_full: dict[int, bool], levels: int = 6
+) -> dict[int, bool]:
+    """Compact a {cell: full} cover (cells at one resolution, `full` marking
+    provably-interior cells): any complete sibling quartet merges into its
+    parent, `levels` times. The parent is full iff all 4 children are full
+    (their union tiles the parent exactly); a mixed quartet merges as a
+    boundary parent — correct, because every boundary cell of a polygon
+    carries the SAME ring set, so the downstream ray cast is unchanged —
+    the merged-away full children merely lose the short-circuit.
+
+    Coverage is exact: compaction only replaces complete quartets by their
+    union, so uncompacting the result reproduces the input cell set.
+    """
+    cur = dict(cell_full)
+    for _ in range(levels):
+        if not cur:
+            break
+        cells_arr = np.fromiter(cur.keys(), dtype=np.int64, count=len(cur))
+        cells_arr = cells_arr[cell_res(cells_arr) > 0]  # res 0 cannot merge
+        if not len(cells_arr):
+            break
+        parents = cell_parent(cells_arr)
+        groups: dict[int, list[int]] = {}
+        for c, p in zip(cells_arr.tolist(), parents.tolist()):
+            groups.setdefault(p, []).append(c)
+        merged = False
+        for p, kids in groups.items():
+            if len(kids) == 4:
+                full = all(cur[k] for k in kids)
+                for k in kids:
+                    del cur[k]
+                cur[p] = full
+                merged = True
+        if not merged:
+            break
+    return cur
+
+
+def dedup_ancestor_overlap(cell_full: dict[int, bool]) -> dict[int, bool]:
+    """Drop any cell whose ancestor is also in the cover (the ancestor
+    spatially contains it, so the fine cell's candidate row would be a
+    duplicate). Mixed-resolution covers arise when a multipolygon feature's
+    sub-polygon covers come out at different effective resolutions
+    (cover_polygon's max_cells res-lowering); same-res covers pass through
+    untouched. Keeping the ancestor is exact: a boundary ancestor carries
+    the feature's full ring set, so the ray cast over the dropped cell's
+    region is unchanged (only the dropped cell's interior short-circuit is
+    lost)."""
+    if not cell_full:
+        return cell_full
+    res_present = sorted({int(c) >> _RES_SHIFT for c in cell_full})
+    if len(res_present) == 1:
+        return cell_full
+    min_res = res_present[0]
+    out: dict[int, bool] = {}
+    for c, f in cell_full.items():
+        r = int(c) >> _RES_SHIFT
+        ix = (int(c) >> _IX_SHIFT) & _COORD_MASK
+        iy = int(c) & _COORD_MASK
+        shadowed = False
+        for pr in range(r - 1, min_res - 1, -1):
+            shift = r - pr
+            anc = (pr << _RES_SHIFT) | ((ix >> shift) << _IX_SHIFT) | (iy >> shift)
+            if anc in cell_full:
+                shadowed = True
+                break
+        if not shadowed:
+            out[c] = f
+    return out

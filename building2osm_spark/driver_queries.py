@@ -1741,6 +1741,68 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X4+: compacted cell cover (H3-`compact` analog, partitioning.compact_cover)
+# ---------------------------------------------------------------------------
+
+_COMPACT_RES = 15
+_COMPACT_LEVELS = 4
+
+
+def q_cover_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct point cells at res 15 → compacted mixed-resolution cover
+    via the native iterative operator (groupBy-quartet + anti-join per
+    level). The oracle re-derives the same fixpoint with fixed-level SQL
+    CTEs — an independent formulation of the same recurrence."""
+    from .operators.partitioning import compact_cover
+
+    pts = _points(spark, sf_dir)
+    cover = pts.select(
+        COL.cell_id_col(F.col("lon"), F.col("lat"), _COMPACT_RES).alias("cell")
+    )
+    comp = compact_cover(cover, cell_col="cell", levels=_COMPACT_LEVELS)
+    return comp.select(
+        "cell", F.shiftrightunsigned("cell", 54).cast("int").alias("res")
+    )
+
+
+def _compact_oracle_sql() -> str:
+    m = (1 << 27) - 1
+    parent = (
+        f"((((cell >> 54) - 1) << 54) | ((((cell >> 27) & {m}) >> 1) << 27)"
+        f" | ((cell & {m}) >> 1))"
+    )
+    n = 1 << _COMPACT_RES
+    ctes = [
+        f"pts AS ({_POINTS_SQL})",
+        "l0 AS (SELECT DISTINCT"
+        f" ((CAST({_COMPACT_RES} AS BIGINT) << 54)"
+        f" | (CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT) << 27)"
+        f" | CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT)) AS cell FROM pts)",
+    ]
+    keeps = []
+    for k in range(1, _COMPACT_LEVELS + 1):
+        ctes.append(f"g{k} AS (SELECT cell, {parent} AS parent FROM l{k - 1})")
+        ctes.append(
+            f"p{k} AS (SELECT parent FROM g{k} GROUP BY parent HAVING count(*) = 4)"
+        )
+        ctes.append(
+            f"k{k} AS (SELECT cell FROM g{k}"
+            f" WHERE parent NOT IN (SELECT parent FROM p{k}))"
+        )
+        ctes.append(f"l{k} AS (SELECT parent AS cell FROM p{k})")
+        keeps.append(f"SELECT cell FROM k{k}")
+    keeps.append(f"SELECT cell FROM l{_COMPACT_LEVELS}")
+    union = " UNION ALL ".join(keeps)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT cell, CAST(cell >> 54 AS INTEGER) AS res FROM ({union})"
+    )
+
+
+ORACLE_COVER_COMPACT = _compact_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1795,6 +1857,7 @@ QUERIES = {
     "raster_overlay": q_raster_overlay,
     "image_phash_buckets": q_image_phash_buckets,
     "audio_features": q_audio_features,
+    "cover_compact": q_cover_compact,
 }
 
 ORACLES = {
@@ -1822,6 +1885,7 @@ ORACLES = {
     "lang_id": ORACLE_LANG,
     "cosine_topk": ORACLE_COSINE,
     "progress_metrics": ORACLE_PROGRESS,
+    "cover_compact": ORACLE_COVER_COMPACT,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "minhash_near_dups": ORACLE_MINHASH,
     "ngram_dup_profile": ORACLE_NGRAM_DUP,

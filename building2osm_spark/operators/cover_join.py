@@ -211,6 +211,7 @@ def assign_points_to_polygons(
     broadcast: bool = True,
     refine: str = "native",
     keep_unassigned: bool = False,
+    compact_levels: int = 0,
 ) -> DataFrame:
     """Point rows annotated with the containing polygon's id.
 
@@ -228,11 +229,38 @@ def assign_points_to_polygons(
     same results (cross-checked in tests), useful when polygon vertex
     counts are huge enough that per-row HOF evaluation loses to batched
     numpy.
+
+    compact_levels > 0 (native refine only) compacts the cell cover — the
+    north star's H3-`compact` analog: complete sibling quartets merge into
+    their parent up to `compact_levels` resolutions up (full iff all 4
+    children full), shrinking the broadcast side ~4× per merged level;
+    country-scale covers at res 15-18 stay broadcastable. The point side
+    then probes every resolution present in the cover (one map-only
+    ancestor-cell expansion, ≤ compact_levels+1 rows per point before the
+    join filter). Results are identical to the uncompacted join: per
+    polygon the cover cells are disjoint, so each contained point still
+    meets exactly one candidate row per polygon.
     """
     spark = points.sparkSession
+    if compact_levels and refine != "native":
+        raise ValueError("compact_levels requires refine='native'")
     covers = polygon_covers(polys, poly_id, geometry, res, multipolygon)
 
     pts = points.withColumn("__cell", cell_id_col(F.col(lon), F.col(lat), res))
+
+    def multi_res_probe(levels: list[int]) -> DataFrame:
+        """Point-side probe rows for a mixed-resolution cover: one __cell
+        per resolution present (map-only explode; the join filters)."""
+        if levels == [res]:
+            return pts
+        return points.withColumn(
+            "__cell",
+            F.explode(
+                F.array(
+                    *[cell_id_col(F.col(lon), F.col(lat), r) for r in sorted(levels)]
+                )
+            ),
+        )
 
     if refine == "native":
         if broadcast:
@@ -260,6 +288,18 @@ def assign_points_to_polygons(
                                 [float(pt[1]) for pt in ring],
                             )
                         )
+                # a multipolygon feature whose sub-polygon covers came out
+                # at different effective resolutions (max_cells lowering)
+                # can hold overlapping cells — keep only the ancestor so a
+                # point never matches the same feature twice
+                cell_full = C.dedup_ancestor_overlap(cell_full)
+                # compact AFTER merging sub-polygon covers: per-sub-polygon
+                # compaction could leave the same feature with spatially
+                # overlapping cells at different resolutions (coarse merged
+                # cell from one sub-polygon over a fine cell of another) —
+                # a point in the overlap would match twice and duplicate
+                if compact_levels:
+                    cell_full = C.compact_flags(cell_full, compact_levels)
                 for cell, f in cell_full.items():
                     # interior cells carry NO rings: the candidate join row
                     # proves containment by itself (polyfill interior cell)
@@ -269,9 +309,32 @@ def assign_points_to_polygons(
                 side_rows,
                 schema=f"__cell long, {poly_id} {id_t}, __full boolean, __rings {RINGS_T}",
             )
+            # probe every resolution actually present: compaction (and
+            # cover_polygon's max_cells res-lowering for huge polygons)
+            # yields mixed-res covers; a single-res probe would silently
+            # miss every cover cell at another resolution
+            levels = sorted({int(c) >> 54 for (c, *_rest) in side_rows}) or [res]
+            pts = multi_res_probe(levels)
         else:
+            cov = covers
+            if compact_levels:
+                # distributed compaction (partitioning.compact_cover): the
+                # cover table shrinks ~4× per fully-merged level before the
+                # ring payload join; the point side probes the compacted
+                # resolution range. (This path assumes covers at uniform
+                # `res` — the driver-side broadcast path is the one that
+                # also handles cover_polygon's res-lowering, which needs
+                # the actual levels present.)
+                from .partitioning import compact_cover
+
+                cov = compact_cover(
+                    covers, cell_col="cell", group=(poly_id,), levels=compact_levels
+                )
+                pts = multi_res_probe(
+                    list(range(max(res - compact_levels, 0), res + 1))
+                )
             side = (
-                covers.join(polys.select(poly_id, geometry), poly_id)
+                cov.join(polys.select(poly_id, geometry), poly_id)
                 .withColumn(
                     "__rings", flatten_geometry_col(F.col(geometry), multipolygon)
                 )

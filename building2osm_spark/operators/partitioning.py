@@ -12,7 +12,7 @@ AQE's skew-join splitting stays on as the second line of defence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import DEFAULT_CELL_RES, MAX_DOWNLOAD
@@ -190,4 +190,119 @@ def partition_metrics(df: DataFrame) -> DataFrame:
         .groupBy("__pid")
         .agg(F.count("*").alias("n_rows"))
         .select(F.col("__pid").alias("partition_id"), "n_rows")
+    )
+
+
+def cell_parent_col(cell: Column) -> Column:
+    """Parent cell id (one resolution up) as pure Catalyst bit arithmetic —
+    the Column twin of cells.cell_parent (same packing: res<<54|ix<<27|iy)."""
+    mask = F.lit((1 << 27) - 1)
+    res = F.shiftrightunsigned(cell, 54)
+    ix = F.shiftrightunsigned(cell, 27).bitwiseAND(mask)
+    iy = cell.bitwiseAND(mask)
+    return (
+        F.shiftleft((res - F.lit(1)).cast("long"), 54)
+        .bitwiseOR(F.shiftleft(F.shiftrightunsigned(ix, 1), 27))
+        .bitwiseOR(F.shiftrightunsigned(iy, 1))
+    )
+
+
+def compact_cover(
+    cover: DataFrame,
+    cell_col: str = "cell",
+    group: tuple[str, ...] = (),
+    levels: int = 6,
+) -> DataFrame:
+    """Compacted cell cover (the north star's H3-`compact` analog): every
+    complete sibling quartet — 4 cells sharing a parent, per `group` — is
+    replaced by the parent, repeated `levels` times, yielding a minimal
+    mixed-resolution cover. `uncompact` of the result reproduces the input
+    exactly (cells.compact/uncompact are the numpy twins; equivalence is
+    tested), so downstream joins lose nothing.
+
+    Scale shape: covers are polygon-side metadata (10^3–10^6 rows even for
+    country-scale polygon sets — never the point table), so the per-level
+    groupBy + anti-join pair here shuffles only narrow (group, cell) rows.
+    The payoff is on the BROADCAST side of the PIP join: a compacted cover
+    of a large polygon is ~4× (one merged level) to ~64× (three levels)
+    smaller, which is what keeps country-scale covers at res 15-18
+    broadcastable on a 1000-executor cluster. Point-side probing against a
+    mixed-resolution cover costs one ancestor-cell expansion (bounded by
+    `levels`+1 rows per point, map-only) — see
+    cover_join.assign_points_to_polygons(compact_levels=...).
+    """
+    from functools import reduce
+
+    gcols = list(group)
+    cur = cover.select(*gcols, cell_col).distinct()
+    parts: list[DataFrame] = []
+    for _ in range(levels):
+        with_parent = cur.withColumn("__parent", cell_parent_col(F.col(cell_col)))
+        promoted = (
+            with_parent.filter(F.shiftrightunsigned(F.col(cell_col), 54) > 0)
+            .groupBy(*gcols, "__parent")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") == 4)
+            .drop("__n")
+        )
+        parts.append(
+            with_parent.join(promoted, gcols + ["__parent"], "left_anti").drop(
+                "__parent"
+            )
+        )
+        cur = promoted.withColumnRenamed("__parent", cell_col)
+    return reduce(DataFrame.unionByName, parts + [cur])
+
+
+def uncompact_cover(
+    cover: DataFrame, res: int, cell_col: str = "cell"
+) -> DataFrame:
+    """Expand a mixed-resolution (compacted) cover back to uniform `res` —
+    the H3-`uncompact` analog and exact inverse of compact_cover. Pure
+    native: each cell's descendant block is the cross product of two index
+    ranges (ix<<d .. ((ix+1)<<d)-1) × (iy<<d ..), emitted with two
+    sequence-explodes (SQL shiftleft accepts a column shift amount; the
+    Python wrapper doesn't). Cells FINER than `res` raise at execution —
+    they have no ancestor row at `res` that preserves coverage semantics.
+    """
+    m = (1 << 27) - 1
+    other = [x for x in cover.columns if x != cell_col]
+    prefix = [F.col(x) for x in other]
+    r = F.shiftrightunsigned(F.col(cell_col), 54)
+    base = cover.withColumn(
+        cell_col,
+        F.when(
+            r > res,
+            F.expr(
+                f"raise_error(concat('uncompact_cover: cell finer than "
+                f"target res {res}: ', CAST({cell_col} AS STRING)))"
+            ).cast("long"),
+        ).otherwise(F.col(cell_col)),
+    )
+    return (
+        base.withColumn("__d", (F.lit(res).cast("long") - r).cast("int"))
+        .withColumn("__ix", F.expr(f"shiftright({cell_col}, 27) & {m}"))
+        .withColumn("__iy", F.expr(f"{cell_col} & {m}"))
+        .withColumn(
+            "__cix",
+            F.explode(
+                F.expr(
+                    "sequence(shiftleft(__ix, __d), shiftleft(__ix + 1, __d) - 1)"
+                )
+            ),
+        )
+        .withColumn(
+            "__ciy",
+            F.explode(
+                F.expr(
+                    "sequence(shiftleft(__iy, __d), shiftleft(__iy + 1, __d) - 1)"
+                )
+            ),
+        )
+        .select(
+            *prefix,
+            F.expr(
+                f"shiftleft(CAST({res} AS BIGINT), 54) | shiftleft(__cix, 27) | __ciy"
+            ).alias(cell_col),
+        )
     )
