@@ -198,6 +198,50 @@ def assign_points_unrolled(
     return out
 
 
+def _cover_levels(cov: DataFrame) -> list[int]:
+    """Distinct cell resolutions present in a cover — a tiny collect over
+    the slim (id, cell) table (≤19 possible values)."""
+    return sorted(
+        r[0]
+        for r in cov.select(
+            F.shiftrightunsigned("cell", 54).cast("int").alias("r")
+        )
+        .distinct()
+        .collect()
+    )
+
+
+def _drop_shadowed_cells(
+    cov: DataFrame, poly_id: str, levels: list[int]
+) -> DataFrame:
+    """Distributed twin of cells.dedup_ancestor_overlap: drop cover cells
+    that have a same-feature ancestor also in the cover (the ancestor
+    spatially contains them — keeping both would double-match any point in
+    the fine cell). Slim self-join on (poly_id, cell) only."""
+    m = (1 << 27) - 1
+    lvls = ",".join(str(x) for x in levels[:-1])
+    anc_expr = (
+        f"transform(filter(array({lvls}), L -> L < shiftright(cell, 54)),"
+        f" L -> shiftleft(CAST(L AS BIGINT), 54)"
+        f" | shiftleft(shiftright(shiftright(cell, 27) & {m},"
+        f"   CAST(shiftright(cell, 54) - L AS INT)), 27)"
+        f" | shiftright(cell & {m}, CAST(shiftright(cell, 54) - L AS INT)))"
+    )
+    anc = cov.select(
+        poly_id, "cell", F.explode(F.expr(anc_expr)).alias("__anc")
+    )
+    shadowed = (
+        anc.join(
+            cov.select(poly_id, F.col("cell").alias("__anc")),
+            [poly_id, "__anc"],
+            "left_semi",
+        )
+        .select(poly_id, "cell")
+        .distinct()
+    )
+    return cov.join(shadowed, [poly_id, "cell"], "left_anti")
+
+
 def assign_points_to_polygons(
     points: DataFrame,
     polys: DataFrame,
@@ -316,23 +360,35 @@ def assign_points_to_polygons(
             levels = sorted({int(c) >> 54 for (c, *_rest) in side_rows}) or [res]
             pts = multi_res_probe(levels)
         else:
-            cov = covers
+            # the cover can be mixed-resolution even before compaction
+            # (cover_polygon's max_cells res-lowering for huge polygons):
+            # probe the resolutions ACTUALLY present — a single-res probe
+            # silently loses every point of a res-lowered polygon — and
+            # drop cells shadowed by a same-feature ancestor (multipolygon
+            # sub-covers at different resolutions can overlap, duplicating
+            # matches). The cover is slim polygon-side metadata; the
+            # localCheckpoint keeps the pandas-UDF cover computation from
+            # re-running for the levels probe and the join.
+            cov = covers.localCheckpoint(eager=False)
+            levels = _cover_levels(cov)
+            if len(levels) > 1:
+                # dedup BEFORE compaction: a coarse ancestor alongside a
+                # complete fine quartet would otherwise be duplicated by
+                # the quartet's promotion
+                cov = _drop_shadowed_cells(cov, poly_id, levels)
             if compact_levels:
                 # distributed compaction (partitioning.compact_cover): the
                 # cover table shrinks ~4× per fully-merged level before the
-                # ring payload join; the point side probes the compacted
-                # resolution range. (This path assumes covers at uniform
-                # `res` — the driver-side broadcast path is the one that
-                # also handles cover_polygon's res-lowering, which needs
-                # the actual levels present.)
+                # ring payload join
                 from .partitioning import compact_cover
 
                 cov = compact_cover(
-                    covers, cell_col="cell", group=(poly_id,), levels=compact_levels
+                    cov, cell_col="cell", group=(poly_id,), levels=compact_levels
                 )
-                pts = multi_res_probe(
-                    list(range(max(res - compact_levels, 0), res + 1))
-                )
+            if len(levels) > 1 or compact_levels:
+                cov = cov.localCheckpoint(eager=False)
+                levels = _cover_levels(cov)
+            pts = multi_res_probe(levels or [res])
             side = (
                 cov.join(polys.select(poly_id, geometry), poly_id)
                 .withColumn(

@@ -157,10 +157,13 @@ def test_assign_compacted_keep_unassigned(spark, grid_polys, cloud):
     assert _rows(comp) == _rows(plain)
 
 
-def test_assign_res_lowered_cover_not_lost(spark):
+@pytest.mark.parametrize("broadcast", [True, False])
+@pytest.mark.parametrize("compact_levels", [0, 2])
+def test_assign_res_lowered_cover_not_lost(spark, broadcast, compact_levels):
     """A polygon spanning more than max_cells cells at the requested res
     gets its cover silently LOWERED by cover_polygon; the multi-res probe
-    must still find its points (single-res probing missed them entirely)."""
+    must still find its points (single-res probing missed them entirely) —
+    on BOTH the broadcast and shuffled paths."""
     # 1°×1° square at res 18 would be ~70k cells -> cover drops resolution
     ring = [
         [10.0, 59.0], [11.0, 59.0], [11.0, 60.0], [10.0, 60.0], [10.0, 59.0]
@@ -173,9 +176,44 @@ def test_assign_res_lowered_cover_not_lost(spark):
         "point_id long, lon double, lat double",
     )
     out = assign_points_to_polygons(
-        pts, polys, multipolygon=False, broadcast=True, res=18
+        pts, polys, multipolygon=False, broadcast=broadcast, res=18,
+        compact_levels=compact_levels,
     )
     assert _rows(out) == [(1, "big"), (2, "big")]
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+@pytest.mark.parametrize("compact_levels", [0, 2])
+def test_assign_mixed_res_multipolygon_no_duplicates(
+    spark, broadcast, compact_levels
+):
+    """A multipolygon feature whose sub-polygon covers land at DIFFERENT
+    effective resolutions (one huge res-lowered square + one tiny square
+    inside it) holds ancestor-overlapped cells: a point in the tiny
+    sub-polygon sits in both a fine cell and its coarse ancestor, and
+    without the shadow dedup it would match the feature twice."""
+    big = [[10.0, 59.0], [11.0, 59.0], [11.0, 60.0], [10.0, 60.0], [10.0, 59.0]]
+    d = 0.0005
+    tiny = [
+        [10.5, 59.5], [10.5 + d, 59.5], [10.5 + d, 59.5 + d],
+        [10.5, 59.5 + d], [10.5, 59.5],
+    ]
+    polys = spark.createDataFrame(
+        [("mp", [[big], [tiny]])],
+        "poly_id string, geometry array<array<array<array<double>>>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 10.5002, 59.5002), (2, 10.2, 59.8), (3, 11.5, 59.5)],
+        "point_id long, lon double, lat double",
+    )
+    out = assign_points_to_polygons(
+        pts, polys, multipolygon=True, broadcast=broadcast, res=18,
+        compact_levels=compact_levels,
+    )
+    rows = [
+        (r.point_id, r.poly_id) for r in out.select("point_id", "poly_id").collect()
+    ]
+    assert sorted(rows) == [(1, "mp"), (2, "mp")]  # no duplicate for point 1
 
 
 def test_compacted_cover_is_smaller(spark, grid_polys):
