@@ -529,7 +529,12 @@ def main() -> None:
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            if not spark.catalog.tableExists(f"{prefix}_osm"):
+            # check BOTH tables: a run that died between the two writes
+            # would otherwise leave a half-base that breaks every later run
+            if not (
+                spark.catalog.tableExists(f"{prefix}_osm")
+                and spark.catalog.tableExists(f"{prefix}_imports")
+            ):
                 write_conflation_base(
                     spark.read.parquet(osm_p), spark.read.parquet(imp_p),
                     prefix=prefix,

@@ -302,6 +302,13 @@ def compact_flags(
 
     Coverage is exact: compaction only replaces complete quartets by their
     union, so uncompacting the result reproduces the input cell set.
+
+    A mixed-resolution input holding BOTH an ancestor and its complete
+    child quartet (outside the documented single-res input, but reachable
+    through merged multi-feature covers) merges the promoted flag into the
+    pre-existing parent with AND — boundary always wins, which is the safe
+    direction since the ray cast is exact and `full` only short-circuits
+    it.
     """
     cur = dict(cell_full)
     for _ in range(levels):
@@ -321,7 +328,14 @@ def compact_flags(
                 full = all(cur[k] for k in kids)
                 for k in kids:
                     del cur[k]
-                cur[p] = full
+                # a PRE-EXISTING parent entry (mixed-res input holding both
+                # an ancestor and its complete quartet) merges with AND:
+                # the flags can disagree only on an inconsistent cover, and
+                # False (boundary) is the always-safe direction — the ray
+                # cast stays exact, full merely short-circuits it. A plain
+                # overwrite could flip a boundary parent to full and skip
+                # the cast for points outside the polygon.
+                cur[p] = full if p not in cur else (full and cur[p])
                 merged = True
         if not merged:
             break

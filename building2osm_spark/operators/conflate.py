@@ -321,8 +321,17 @@ def _pair_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         lab_o.unpersist()
         lab_o = new_o
         if changed == 0:
+            # hand back ContextCleaner-managed blocks, not a persist that
+            # would outlive the call in a long-lived session (engine
+            # persist-hygiene convention); cheap — (osm_id, component)
+            # rows read straight from the still-cached lab_o
+            out = lab_o.localCheckpoint(eager=True)
+            lab_o.unpersist()
             e.unpersist()
-            return lab_o
+            return out
+    # non-convergence must not leave blocks pinned for the session's life
+    lab_o.unpersist()
+    e.unpersist()
     raise RuntimeError(
         f"_pair_components: label propagation did not converge in {max_iter} "
         "rounds — raise max_iter (component diameter exceeds it)"

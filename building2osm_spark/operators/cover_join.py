@@ -286,6 +286,8 @@ def assign_points_to_polygons(
     meets exactly one candidate row per polygon.
     """
     spark = points.sparkSession
+    if refine not in ("native", "arrow"):
+        raise ValueError(f"unknown refine mode {refine!r} (want 'native' or 'arrow')")
     if compact_levels and refine != "native":
         raise ValueError("compact_levels requires refine='native'")
     covers = polygon_covers(polys, poly_id, geometry, res, multipolygon)
@@ -305,6 +307,24 @@ def assign_points_to_polygons(
                 )
             ),
         )
+
+    def arrow_cover_probe() -> tuple[DataFrame, DataFrame]:
+        """Mixed-resolution handling for the arrow paths, same as the
+        native shuffled path: the cover can be res-lowered even
+        uncompacted (cover_polygon's max_cells lowering for huge
+        polygons — exactly the case 'arrow' is recommended for), so the
+        point side must probe the resolutions ACTUALLY present; a
+        single-res probe silently loses every point of a res-lowered
+        polygon. Ancestor-shadowed cells are dropped when resolutions
+        mix: the arrow verify has no __full short-circuit, so a point in
+        the overlap would emit the same (point, polygon) row twice."""
+        cov = covers.localCheckpoint(eager=False)
+        levels = _cover_levels(cov)
+        if len(levels) > 1:
+            cov = _drop_shadowed_cells(cov, poly_id, levels).localCheckpoint(
+                eager=False
+            )
+        return cov, multi_res_probe(levels or [res])
 
     if refine == "native":
         if broadcast:
@@ -404,8 +424,9 @@ def assign_points_to_polygons(
             | rings_contains_col(F.col("__rings"), F.col(lon), F.col(lat))
         ).drop("__cell", "__rings", "__full")
     elif broadcast:
-        cand = pts.join(
-            F.broadcast(covers.withColumnRenamed("cell", "__cell")), "__cell"
+        cov, probe = arrow_cover_probe()
+        cand = probe.join(
+            F.broadcast(cov.withColumnRenamed("cell", "__cell")), "__cell"
         )
         # ship geometries once per executor, not once per row
         geoms = {
@@ -449,7 +470,8 @@ def assign_points_to_polygons(
         assigned = cand.mapInPandas(refine, schema=out_schema)
     else:
         # big polygon side: geometry travels through a cell-partitioned join
-        cand = pts.join(covers.withColumnRenamed("cell", "__cell"), "__cell")
+        cov, probe = arrow_cover_probe()
+        cand = probe.join(cov.withColumnRenamed("cell", "__cell"), "__cell")
         with_geom = cand.join(polys.select(poly_id, geometry), poly_id)
 
         out_fields = [

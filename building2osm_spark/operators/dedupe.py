@@ -446,6 +446,8 @@ def winnow_fingerprints(
         bases_df = _shingle_bases(df, text_col, id_col, ngram, base_hash)
         id_t = bases_df.schema[id_col].dataType.simpleString()
         return bases_df.mapInPandas(fps_kernel, schema=f"{id_col} {id_t}, __h long")
+    if kernel != "native":
+        raise ValueError(f"unknown kernel {kernel!r} (want 'arrow' or 'native')")
     with_bases = _shingle_bases(df, text_col, id_col, ngram, base_hash).localCheckpoint(
         eager=False
     )

@@ -220,6 +220,14 @@ def compact_cover(
     exactly (cells.compact/uncompact are the numpy twins; equivalence is
     tested), so downstream joins lose nothing.
 
+    Precondition (as cells.compact): the input cover must be free of
+    same-group ancestor overlap — a cover holding both a cell and its
+    descendants would emit the ancestor twice (kept at its own level AND
+    promoted from the complete quartet), duplicating downstream candidate
+    rows. Single-resolution covers satisfy this trivially; mixed-res
+    covers must be deduped first (cells.dedup_ancestor_overlap /
+    cover_join's shadow drop — the engine join paths always do).
+
     Scale shape: covers are polygon-side metadata (10^3–10^6 rows even for
     country-scale polygon sets — never the point table), so the per-level
     groupBy + anti-join pair here shuffles only narrow (group, cell) rows.

@@ -43,10 +43,16 @@ def _params_hash(params: dict) -> str:
 # Engine-wide version of persisted hash-derived-value SEMANTICS. Bump
 # whenever the value a persisted hash-derived column takes for identical
 # input changes (e.g. round 3's abs(xxhash64)%M → pmod(xxhash64, M) fix
-# changed every fingerprint). Recorded in each manifest and checked on
-# resume: a snapshot committed under an older scheme (or before this field
-# existed) is NOT a prefix of the current computation — resuming onto it
-# would silently mix old- and new-hash rows (ADVICE r3, dedupe.py:84).
+# changed every fingerprint). Recorded in each manifest; checked on resume
+# ONLY for stages that declare hash_derived=True — a snapshot of such a
+# stage committed under an older scheme (or before this field existed) is
+# NOT a prefix of the current computation, and resuming onto it would
+# silently mix old- and new-hash rows (ADVICE r3, dedupe.py:84). Stages
+# whose keys/values carry no persisted hash-derived columns (split cell
+# assignments, conflate action rows keyed by ref) must NOT be invalidated
+# by a scheme bump: under the STREAMING path resumed=False replaces the
+# snapshot chain while the source never re-feeds consumed files, so an
+# unconditional check would silently truncate sound history.
 HASH_SCHEME = 2
 
 
@@ -174,18 +180,19 @@ class SnapshotStore:
 
     def _resume(
         self, spark: SparkSession, df: DataFrame, stage: str, key_col: str,
-        params: dict | None = None,
+        params: dict | None = None, hash_derived: bool = False,
     ) -> tuple[DataFrame, bool]:
         """(filtered_df, resumed). resumed=False means the previous
         snapshot is NOT a prefix of this computation (absent, different
-        key_col, or different params) — the caller must treat df as a
+        key_col, different params, or — for hash_derived stages — a
+        different engine hash scheme) — the caller must treat df as a
         complete fresh result, not an increment."""
         m = self.manifest(stage)
         if m is None or m.get("key_col") != key_col:
             return df, False
         if params is not None and m["params_hash"] != _params_hash(params):
             return df, False
-        if m.get("hash_scheme") != HASH_SCHEME:
+        if hash_derived and m.get("hash_scheme") != HASH_SCHEME:
             # committed under a different (or pre-versioning) hash scheme:
             # its hash-derived values are incomparable with ours
             return df, False
@@ -208,13 +215,18 @@ class SnapshotStore:
 
     def resume_filter(
         self, spark: SparkSession, df: DataFrame, stage: str, key_col: str,
-        params: dict | None = None,
+        params: dict | None = None, hash_derived: bool = False,
     ) -> DataFrame:
         """Drop rows whose key is already committed in the latest snapshot
         of `stage` — the ref:bygningsnr idempotence semantics. When the
         stage has no snapshot, or was committed with DIFFERENT params, the
-        full df passes (changed params = a different computation)."""
-        out, _ = self._resume(spark, df, stage, key_col, params=params)
+        full df passes (changed params = a different computation).
+        hash_derived=True declares that the stage persists hash-derived
+        values (fingerprints, signatures): its snapshots additionally
+        invalidate across engine HASH_SCHEME bumps."""
+        out, _ = self._resume(
+            spark, df, stage, key_col, params=params, hash_derived=hash_derived
+        )
         return out
 
     def incremental_commit(
@@ -224,6 +236,7 @@ class SnapshotStore:
         key_col: str,
         *,
         params: dict | None = None,
+        hash_derived: bool = False,
     ) -> tuple[str, int]:
         """resume_filter + commit of only the new keys, unioned with the
         previous snapshot → the new snapshot is complete AND the increment
@@ -234,7 +247,8 @@ class SnapshotStore:
         would duplicate every previously committed key (old-params row +
         recomputed row) and double-count downstream."""
         new_rows, resumed = self._resume(
-            df.sparkSession, df, stage, key_col, params=params
+            df.sparkSession, df, stage, key_col, params=params,
+            hash_derived=hash_derived,
         )
         return self.commit_increment(
             new_rows, stage, key_col, params=params, resumed=resumed

@@ -32,6 +32,7 @@ def incremental_foreach_batch(
     expire_keep: int | None = None,
     pre_commit: Callable[[DataFrame], None] | None = None,
     post_commit: Callable[[DataFrame], None] | None = None,
+    hash_derived: bool = False,
 ):
     """foreachBatch body: anti-join committed keys ONCE, apply the stage
     transform to NEW rows only, commit the union as the next snapshot
@@ -54,8 +55,26 @@ def incremental_foreach_batch(
         # only ever touches new rows (the reference's resume never
         # recomputes committed buildings, building_merge.py:659-674).
         new_rows, resumed = store._resume(
-            batch_df.sparkSession, batch_df, stage, key_col, params=params
+            batch_df.sparkSession, batch_df, stage, key_col, params=params,
+            hash_derived=hash_derived,
         )
+        if not resumed and store.latest(stage) is not None:
+            # The fresh commit REPLACES the snapshot chain, but a streaming
+            # source never re-feeds files its checkpoint already consumed:
+            # unless this run uses a NEW checkpointLocation, the replacement
+            # snapshot holds only the files fed after the config change —
+            # sound history would silently vanish. Loud, not fatal: with a
+            # fresh checkpoint dir this is exactly the intended recompute.
+            import warnings
+
+            warnings.warn(
+                f"incremental[{stage}]: stage config changed — the previous "
+                "snapshot chain is being replaced. If this stream reuses an "
+                "old checkpointLocation, already-consumed input files will "
+                "NOT be re-fed and the new chain starts from this batch "
+                "only; use a fresh checkpoint_dir for a full recompute.",
+                stacklevel=2,
+            )
         if pre_commit is not None:
             pre_commit(new_rows)
         out = transform(new_rows) if transform is not None else new_rows
@@ -83,6 +102,7 @@ def run_available_now(
     expire_keep: int | None = None,
     pre_commit: Callable[[DataFrame], None] | None = None,
     post_commit: Callable[[DataFrame], None] | None = None,
+    hash_derived: bool = False,
 ) -> None:
     """Drain all currently-available files from input_dir through the
     incremental path and stop (Trigger.AvailableNow): the streaming
@@ -99,6 +119,7 @@ def run_available_now(
                 store, stage, key_col, transform,
                 params=params, expire_keep=expire_keep,
                 pre_commit=pre_commit, post_commit=post_commit,
+                hash_derived=hash_derived,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -108,7 +129,8 @@ def run_available_now(
     query.awaitTermination()
 
 
-def _geography_overlap_guard(store: SnapshotStore, stage: str, on_overlap: str):
+def _geography_overlap_guard(store: SnapshotStore, stage: str, on_overlap: str,
+                             params: dict | None = None):
     """(pre_commit, post_commit) hooks enforcing incremental_conflate's
     disjoint-geography batch contract: each batch's import centres are
     hashed to CONFLATE_RES (~150 m) cells; a batch that reuses a cell a
@@ -123,7 +145,13 @@ def _geography_overlap_guard(store: SnapshotStore, stage: str, on_overlap: str):
     (that batch's cells go unguarded — the advisory-guard tradeoff,
     chosen over spuriously firing on every replay). Borders are fuzzy at
     cell width: two truly disjoint municipalities sharing a 150 m border
-    cell trip the guard — hence warn, not raise, by default."""
+    cell trip the guard — hence warn, not raise, by default.
+
+    The record is keyed by the stage's params hash: when the params change
+    (resume invalidated, the snapshot chain replaced by a fresh
+    computation), cells recorded under the old params must not trip the
+    guard on the legitimate recompute — they belong to a chain that no
+    longer exists."""
     import json
     import os
     import warnings
@@ -132,15 +160,19 @@ def _geography_overlap_guard(store: SnapshotStore, stage: str, on_overlap: str):
 
     from ..functions.columns import cell_id_col
     from ..operators.conflate import CONFLATE_RES
-    from ..sources.checkpoint import _write_json_atomic
+    from ..sources.checkpoint import _params_hash, _write_json_atomic
 
     path = os.path.join(store.root, stage, "committed_cells.json")
+    phash = _params_hash(params or {})
     pending: dict[str, set] = {"cells": set()}
 
     def _committed() -> set:
         if os.path.exists(path):
             with open(path) as f:
-                return set(json.load(f))
+                rec = json.load(f)
+            if isinstance(rec, dict):
+                return set(rec["cells"]) if rec.get("params_hash") == phash else set()
+            return set(rec)  # pre-params-keyed record (advisory: keep it)
         return set()
 
     def pre_commit(new_rows: DataFrame) -> None:
@@ -153,7 +185,7 @@ def _geography_overlap_guard(store: SnapshotStore, stage: str, on_overlap: str):
             .collect()
         }
         pending["cells"] = cells
-        if not cells or on_overlap == "ignore":
+        if not cells:
             return
         overlap = cells & _committed()
         if overlap:
@@ -173,7 +205,11 @@ def _geography_overlap_guard(store: SnapshotStore, stage: str, on_overlap: str):
         if not pending["cells"]:
             return
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        _write_json_atomic(path, sorted(_committed() | pending["cells"]))
+        _write_json_atomic(
+            path,
+            {"params_hash": phash,
+             "cells": sorted(_committed() | pending["cells"])},
+        )
 
     return pre_commit, post_commit
 
@@ -206,9 +242,13 @@ def incremental_conflate(
     separate batches can split a mutual-best decision across batches.
     The contract is now ENFORCED by a cheap committed-cell check
     (_geography_overlap_guard): on_overlap='warn' (default) warns,
-    'error' fails the batch fast, 'ignore' disables the check (it does
-    not affect the computation, so it is deliberately outside the
-    resume-invalidating params hash).
+    'error' fails the batch fast, 'ignore' disables the check AND its
+    per-batch cell-collect job + record entirely (the guard does not
+    affect the computation, so it is deliberately outside the
+    resume-invalidating params hash). The committed-cell record is keyed
+    by the stage's effective params hash, so a legitimate recompute at
+    changed margins does not trip the guard against the replaced chain's
+    geography.
 
     Expects import files with the IMPORT_CONFLATE_SCHEMA shape
     (ref, ring, c_lon, c_lat, area, building); minimal OSM props are
@@ -242,7 +282,14 @@ def incremental_conflate(
         )
         return conflate_with_tags(osm, new_imports, props, **conflate_kwargs)
 
-    pre_commit, post_commit = _geography_overlap_guard(store, stage, on_overlap)
+    # 'ignore' disables the guard entirely — no per-batch cell collect job
+    # and no committed_cells record (re-enabling the guard later starts
+    # from an empty advisory record, which is its documented best-effort)
+    pre_commit, post_commit = (
+        (None, None)
+        if on_overlap == "ignore"
+        else _geography_overlap_guard(store, stage, on_overlap, params=effective)
+    )
     run_available_now(
         spark,
         imports_dir,

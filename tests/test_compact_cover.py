@@ -158,12 +158,16 @@ def test_assign_compacted_keep_unassigned(spark, grid_polys, cloud):
 
 
 @pytest.mark.parametrize("broadcast", [True, False])
-@pytest.mark.parametrize("compact_levels", [0, 2])
-def test_assign_res_lowered_cover_not_lost(spark, broadcast, compact_levels):
+@pytest.mark.parametrize(
+    "refine,compact_levels", [("native", 0), ("native", 2), ("arrow", 0)]
+)
+def test_assign_res_lowered_cover_not_lost(
+    spark, broadcast, refine, compact_levels
+):
     """A polygon spanning more than max_cells cells at the requested res
     gets its cover silently LOWERED by cover_polygon; the multi-res probe
     must still find its points (single-res probing missed them entirely) —
-    on BOTH the broadcast and shuffled paths."""
+    on BOTH the broadcast and shuffled paths, for BOTH refine kernels."""
     # 1°×1° square at res 18 would be ~70k cells -> cover drops resolution
     ring = [
         [10.0, 59.0], [11.0, 59.0], [11.0, 60.0], [10.0, 60.0], [10.0, 59.0]
@@ -177,15 +181,17 @@ def test_assign_res_lowered_cover_not_lost(spark, broadcast, compact_levels):
     )
     out = assign_points_to_polygons(
         pts, polys, multipolygon=False, broadcast=broadcast, res=18,
-        compact_levels=compact_levels,
+        refine=refine, compact_levels=compact_levels,
     )
     assert _rows(out) == [(1, "big"), (2, "big")]
 
 
 @pytest.mark.parametrize("broadcast", [True, False])
-@pytest.mark.parametrize("compact_levels", [0, 2])
+@pytest.mark.parametrize(
+    "refine,compact_levels", [("native", 0), ("native", 2), ("arrow", 0)]
+)
 def test_assign_mixed_res_multipolygon_no_duplicates(
-    spark, broadcast, compact_levels
+    spark, broadcast, refine, compact_levels
 ):
     """A multipolygon feature whose sub-polygon covers land at DIFFERENT
     effective resolutions (one huge res-lowered square + one tiny square
@@ -208,7 +214,7 @@ def test_assign_mixed_res_multipolygon_no_duplicates(
     )
     out = assign_points_to_polygons(
         pts, polys, multipolygon=True, broadcast=broadcast, res=18,
-        compact_levels=compact_levels,
+        refine=refine, compact_levels=compact_levels,
     )
     rows = [
         (r.point_id, r.poly_id) for r in out.select("point_id", "poly_id").collect()
@@ -256,3 +262,15 @@ def test_uncompact_cover_carries_columns_and_raises_on_finer(spark):
     bad = spark.createDataFrame([("p2", c18)], "poly_id string, cell long")
     with pytest.raises(Exception, match="finer than target"):
         uncompact_cover(bad, 16).collect()
+
+
+def test_compact_flags_preexisting_parent_boundary_wins():
+    """An input holding BOTH a boundary ancestor and its complete full
+    quartet must not flip the ancestor to full: flags merge with AND
+    (boundary is the safe direction — the ray cast stays exact)."""
+    parent = (10 << 54) | (5 << 27) | 7
+    kids = cells.cell_children(np.asarray([parent], dtype=np.int64)).ravel()
+    cf = {int(k): True for k in kids.tolist()}
+    cf[int(parent)] = False  # boundary ancestor
+    out = cells.compact_flags(cf, levels=1)
+    assert out == {int(parent): False}

@@ -119,9 +119,13 @@ def test_snapshot_commit_and_resume(spark, tmp_path):
 
 
 def test_old_hash_scheme_snapshot_invalidates_resume(spark, tmp_path):
-    """ADVICE r3: a snapshot committed under an older hash scheme (e.g.
-    pre-pmod abs(xxhash64)%M fingerprints) must not be resumed onto —
-    its hash-derived values are incomparable. Simulated by rewriting the
+    """ADVICE r3: a snapshot of a hash_derived stage committed under an
+    older hash scheme (e.g. pre-pmod abs(xxhash64)%M fingerprints) must
+    not be resumed onto — its hash-derived values are incomparable.
+    Stages WITHOUT hash-derived persisted values must NOT be invalidated
+    by a scheme bump (under streaming, resumed=False replaces the chain
+    while consumed files are never re-fed — an unconditional check would
+    silently truncate sound history). Simulated by rewriting the
     manifest's hash_scheme, as a pre-versioning snapshot would lack it."""
     import json as _json
     import os as _os
@@ -138,9 +142,15 @@ def test_old_hash_scheme_snapshot_invalidates_resume(spark, tmp_path):
     with open(mpath, "w") as f:
         _json.dump(m, f)
 
-    # same params, same keys — but the scheme differs: nothing filtered
-    filtered = store.resume_filter(spark, df1, "fp", "ref", params={"k": 8})
+    # hash-derived stage, scheme differs: nothing filtered (fresh compute)
+    filtered = store.resume_filter(
+        spark, df1, "fp", "ref", params={"k": 8}, hash_derived=True
+    )
     assert filtered.count() == 100
+    # non-hash-derived stage (the default): the scheme bump is irrelevant —
+    # resume still filters every committed key
+    kept = store.resume_filter(spark, df1, "fp", "ref", params={"k": 8})
+    assert kept.count() == 0
 
 
 def test_changed_params_commit_is_fresh_not_union(spark, tmp_path):

@@ -199,3 +199,38 @@ def test_incremental_conflate_overlap_guard(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         run("e2", batch2, store=store2, on_overlap="error")
     assert "overlaps" in str(ei.value)
+
+
+def test_overlap_guard_resets_on_params_change(spark, tmp_path):
+    """A recompute at changed margins replaces the snapshot chain; cells
+    recorded under the OLD params must not trip the guard on the
+    legitimate recompute (the committed-cell record is params-keyed)."""
+    import warnings as _warnings
+
+    from building2osm_spark.sources.checkpoint import SnapshotStore
+    from building2osm_spark.streaming.incremental import incremental_conflate
+    from tests.test_conflate_greedy import _cascade_fixture
+
+    osm_pdf, import_pdf = _cascade_fixture()
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    batch = import_pdf.iloc[:1]
+    store = SnapshotStore(str(tmp_path / "snap_p"))
+
+    def run(tag, **kw):
+        in_dir = str(tmp_path / f"imp_{tag}")
+        spark.createDataFrame(batch, schema=FX.IMPORT_CONFLATE_SCHEMA).write.mode(
+            "append"
+        ).parquet(in_dir)
+        incremental_conflate(
+            spark, in_dir, osm, store,
+            checkpoint_dir=str(tmp_path / f"ck_{tag}"),
+            on_overlap="error", **kw,
+        )
+
+    run("p1")
+    # SAME geography at changed margins, fresh checkpoint dir: a fresh
+    # computation, not an overlapping batch — must not raise (it does warn
+    # about the chain replacement, which is expected here)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        run("p2", margin_hausdorff=9.0)
