@@ -135,10 +135,15 @@ def cmd_merge(args) -> int:
     merged.write.mode("overwrite").parquet(os.path.join(args.out, "merged.parquet"))
     if args.debug:
         # the reference's full per-OSM-row -debug surface (HAUSDORFF on any
-        # best candidate, IDENTICAL on sub-1m scans, SIZE on area rejects)
-        from .operators.conflate import full_debug_spray
+        # best candidate, IDENTICAL on sub-1m scans, SIZE on area rejects);
+        # --greedy-debug computes it against the shrinking remaining set in
+        # greedy scan order (reference-exact, building_merge.py:705-733),
+        # default stays the order-free full-set spray
+        from .operators.conflate import full_debug_spray, greedy_debug_spray
 
-        full_debug_spray(
+        spray = greedy_debug_spray if getattr(args, "greedy_debug", False) \
+            else full_debug_spray
+        spray(
             osm, imports,
             margin_hausdorff=args.maxdist,
             margin_tagged=args.maxdist / 2.0,
@@ -219,6 +224,10 @@ def main(argv=None) -> int:
                    help="emit HAUSDORFF/IDENTICAL/SIZE/AREA tags (reference -debug)")
     m.add_argument("--remove-addr", action="store_true",
                    help="drop addr:* from kept OSM tags on merge")
+    m.add_argument("--greedy-debug", action="store_true",
+                   help="with --debug: spray against the shrinking remaining "
+                        "set in greedy scan order (reference-exact; default "
+                        "sprays order-free against the full import set)")
     m.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("split", help="PIP split into districts (municipality_split.py)")

@@ -338,6 +338,39 @@ def _pair_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
+def _greedy_grouped(
+    osm: DataFrame,
+    imports: DataFrame,
+    margin_hausdorff: float,
+    osm_order_col: str | None,
+    import_order_col: str | None,
+) -> DataFrame:
+    """Shared prep for the greedy kernels (conflate_greedy /
+    greedy_debug_spray): scored candidates + scan-order columns +
+    connected-component assignment, one materialization feeding both the
+    component job and the group pass."""
+    scored = _scored_candidates(osm, imports, margin_hausdorff)
+    if osm_order_col is not None:
+        scored = scored.join(
+            osm.select("osm_id", F.col(osm_order_col).alias("__o_ord")), "osm_id"
+        )
+    else:
+        scored = scored.withColumn("__o_ord", F.col("osm_id"))
+    if import_order_col is not None:
+        scored = scored.join(
+            imports.select(
+                F.col("ref").alias("i_ref"),
+                F.col(import_order_col).alias("__i_ord"),
+            ),
+            "i_ref",
+        )
+    else:
+        scored = scored.withColumn("__i_ord", F.col("i_ref"))
+    scored = scored.localCheckpoint(eager=False)
+    comp = _pair_components(scored)
+    return scored.join(comp, "osm_id")
+
+
 def conflate_greedy(
     osm: DataFrame,
     imports: DataFrame,
@@ -376,27 +409,9 @@ def conflate_greedy(
     identical)."""
     import pandas as pd
 
-    scored = _scored_candidates(osm, imports, margin_hausdorff)
-    if osm_order_col is not None:
-        scored = scored.join(
-            osm.select("osm_id", F.col(osm_order_col).alias("__o_ord")), "osm_id"
-        )
-    else:
-        scored = scored.withColumn("__o_ord", F.col("osm_id"))
-    if import_order_col is not None:
-        scored = scored.join(
-            imports.select(
-                F.col("ref").alias("i_ref"),
-                F.col(import_order_col).alias("__i_ord"),
-            ),
-            "i_ref",
-        )
-    else:
-        scored = scored.withColumn("__i_ord", F.col("i_ref"))
-    # one materialization feeds both the component job and the group pass
-    scored = scored.localCheckpoint(eager=False)
-    comp = _pair_components(scored)
-    grouped = scored.join(comp, "osm_id")
+    grouped = _greedy_grouped(
+        osm, imports, margin_hausdorff, osm_order_col, import_order_col
+    )
 
     mh, mt, ma, ident = margin_hausdorff, margin_tagged, margin_area, IDENTICAL_MARGIN
 
@@ -456,6 +471,122 @@ def conflate_greedy(
     return grouped.groupBy("component").applyInPandas(
         kernel,
         schema="osm_id long, ref string, hausdorff_m double, identical boolean",
+    )
+
+
+def greedy_debug_spray(
+    osm: DataFrame,
+    imports: DataFrame,
+    *,
+    margin_hausdorff: float = MARGIN_HAUSDORFF,
+    margin_tagged: float = MARGIN_TAGGED,
+    margin_area: float = MARGIN_AREA,
+    osm_order_col: str | None = None,
+    import_order_col: str | None = None,
+) -> DataFrame:
+    """(osm_id, dbg map<string,string>) — the -debug spray with the
+    reference's EXACT shrinking-set semantics (building_merge.py:705-733):
+    tags are computed against the REMAINING import set as the greedy scan
+    removes each accepted match, so on removal-cascade corpora this agrees
+    with the reference where the order-free full_debug_spray() legitimately
+    differs (parity-tested in tests/test_conflate_greedy.py):
+
+      HAUSDORFF ' %.2f'  best (minimum) Hausdorff over the REMAINING
+                         bbox candidates at this building's scan turn —
+                         set whenever at least one candidate survives
+                         (:716-717);
+      IDENTICAL ' %.2f'  overwritten per sub-1m REMAINING candidate in
+                         import scan order — the last one wins (:706-708);
+      SIZE '%.1f'        mutual-best pair passed the Hausdorff thresholds
+                         but failed the area-ratio gate (:733).
+
+    Same distributed shape as conflate_greedy: candidate generation +
+    Hausdorff scoring stay set-based; only the per-component replay is
+    sequential. Formatting is CPython '%.2f'/'%.1f' inside the kernel —
+    byte-exact vs the reference by construction (JVM format_string rounds
+    shortest-repr HALF_UP; NOTES hard-won fact 8)."""
+    import pandas as pd
+
+    grouped = _greedy_grouped(
+        osm, imports, margin_hausdorff, osm_order_col, import_order_col
+    )
+    mh, mt, ma, ident = margin_hausdorff, margin_tagged, margin_area, IDENTICAL_MARGIN
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        osm_rows = (
+            pdf[["osm_id", "__o_ord", "tagged", "o_area"]]
+            .drop_duplicates("osm_id")
+            .sort_values(["__o_ord", "osm_id"])
+        )
+        # forward candidates in IMPORT scan order: best selection uses the
+        # reference's strict `<` (earliest minimal candidate wins ties) and
+        # IDENTICAL overwrites per sub-1m candidate in this same order
+        fwd = pdf[pdf["fwd"]].sort_values(["__i_ord", "i_ref"])
+        fwd_by_osm = {k: g for k, g in fwd.groupby("osm_id", sort=False)}
+        rev = pdf[pdf["rev"]].sort_values(["hausdorff_m", "__o_ord", "osm_id"])
+        rev_by_imp = {k: g for k, g in rev.groupby("i_ref", sort=False)}
+
+        remaining = set(pdf["i_ref"])
+        matched_osm: set = set()
+        out = {"osm_id": [], "HAUSDORFF": [], "IDENTICAL": [], "SIZE": []}
+        for osm_id, _, tagged, o_area in osm_rows.itertuples(index=False):
+            cands = fwd_by_osm.get(osm_id)
+            if cands is None:
+                continue
+            alive = cands[cands["i_ref"].isin(remaining)]
+            if not len(alive):
+                continue
+            ident_tag = None
+            best_ref, best_area, best_h = None, 0.0, 9999.0
+            for i_ref, h, i_area in alive[
+                ["i_ref", "hausdorff_m", "i_area"]
+            ].itertuples(index=False):
+                h = float(h)
+                if h < ident:
+                    ident_tag = " %.2f" % h
+                if h < best_h:
+                    best_ref, best_area, best_h = i_ref, float(i_area), h
+            haus_tag = " %.2f" % best_h
+            size_tag = None
+            if (best_h < mh and not tagged) or best_h < mt:
+                rcands = rev_by_imp.get(best_ref)
+                if rcands is not None:
+                    ralive = rcands[~rcands["osm_id"].isin(matched_osm)]
+                    if len(ralive):
+                        rbest = ralive.iloc[0]
+                        if rbest["osm_id"] == osm_id and (
+                            float(rbest["hausdorff_m"]) < mh
+                        ):
+                            # reference divides unguarded (0-area import
+                            # would raise); engine contract: rejected, and
+                            # no SIZE tag is emittable without a ratio
+                            if best_area != 0:
+                                ratio = float(o_area) / best_area
+                                if ma < ratio < 1.0 / ma:
+                                    remaining.discard(best_ref)
+                                    matched_osm.add(osm_id)
+                                else:
+                                    size_tag = "%.1f" % ratio
+            out["osm_id"].append(osm_id)
+            out["HAUSDORFF"].append(haus_tag)
+            out["IDENTICAL"].append(ident_tag)
+            out["SIZE"].append(size_tag)
+        return pd.DataFrame(out)
+
+    sprayed = grouped.groupBy("component").applyInPandas(
+        kernel,
+        schema="osm_id long, HAUSDORFF string, IDENTICAL string, SIZE string",
+    )
+    return sprayed.select(
+        "osm_id",
+        F.map_filter(
+            F.create_map(
+                F.lit("HAUSDORFF"), F.col("HAUSDORFF"),
+                F.lit("IDENTICAL"), F.col("IDENTICAL"),
+                F.lit("SIZE"), F.col("SIZE"),
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("dbg"),
     )
 
 
@@ -671,6 +802,8 @@ def full_debug_spray(
     REMAINING import set as earlier matches are removed in scan order;
     this surface is order-free and computes against the full set. The two
     agree whenever best matches are unique — parity-tested on fixtures.
+    For the reference-exact shrinking-set spray use greedy_debug_spray()
+    (cli merge --debug --greedy-debug).
 
     Debug-only path: scores candidates independently of a conflate() call
     (one extra Hausdorff pass; acceptable for a diagnostic surface).

@@ -122,6 +122,19 @@ def test_cli_merge_writes_merged_actions(spark, tmp_path):
     tags = [dict(r["dbg"]) for r in dbg.collect()]
     assert tags and all("HAUSDORFF" in d for d in tags)
 
+    # --greedy-debug swaps in the shrinking-set spray; on this unique-best
+    # corpus it must agree with the order-free surface exactly
+    out4 = str(tmp_path / "out4")
+    rc = cli.main(
+        ["--cores", "4", "merge", "--osm", osm_p, "--imports", imp_p,
+         "--out", out4, "--debug", "--greedy-debug"]
+    )
+    assert rc == 0
+    dbg4 = spark.read.parquet(os.path.join(out4, "debug_tags.parquet"))
+    got4 = {r["osm_id"]: dict(r["dbg"]) for r in dbg4.collect()}
+    got3 = {r["osm_id"]: dict(r["dbg"]) for r in dbg.collect()}
+    assert got4 == got3
+
 
 def test_geojson_suffix_precedence():
     """Reference elif chain (building2osm.py:1279-1284): debug > verify >

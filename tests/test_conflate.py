@@ -11,9 +11,11 @@ from building2osm_spark.sources import fixtures as FX
 from tests.conftest import import_reference
 
 
-def run_reference_merge(osm_pdf, import_pdf):
+def run_reference_merge(osm_pdf, import_pdf, debug=False):
     """Drive the reference's merge_buildings on our fixture (module globals
-    set up exactly as load_osm_buildings/load_import_buildings would)."""
+    set up exactly as load_osm_buildings/load_import_buildings would).
+    With debug=True returns (matched, tags) where tags maps osm_id →
+    {HAUSDORFF/IDENTICAL/SIZE: value} as sprayed at building_merge.py:705-733."""
     ref = import_reference("building_merge")
     osm_buildings = []
     for _, r in osm_pdf.iterrows():
@@ -49,14 +51,25 @@ def run_reference_merge(osm_pdf, import_pdf):
     ref.osm_nodes = {}
     ref.import_nodes = {}
     ref.osm_id = -1000000
-    ref.debug = False
+    ref.debug = debug
     ref.merge_buildings()
     matched = {
         (w["id"], w["tags"]["ref:bygningsnr"])
         for w in osm_buildings
         if w.get("action") == "modify"
     }
-    return matched
+    if not debug:
+        return matched
+    tags = {}
+    for w in osm_buildings:
+        dbg = {
+            k: w["tags"][k]
+            for k in ("HAUSDORFF", "IDENTICAL", "SIZE")
+            if k in w["tags"]
+        }
+        if dbg:
+            tags[w["id"]] = dbg
+    return matched, tags
 
 
 def test_conflate_matches_reference(spark):

@@ -5,7 +5,12 @@ order-free mutual-best formulation legitimately differs."""
 
 from __future__ import annotations
 
-from building2osm_spark.operators.conflate import conflate, conflate_greedy
+from building2osm_spark.operators.conflate import (
+    conflate,
+    conflate_greedy,
+    full_debug_spray,
+    greedy_debug_spray,
+)
 from building2osm_spark.sources import fixtures as FX
 from building2osm_spark.sources.fixtures import cascade_conflation_pdfs
 from tests.test_conflate import run_reference_merge
@@ -29,6 +34,45 @@ def test_greedy_matches_reference_on_cascade_corpus(spark):
     # documented equivalence-class boundary this mode exists for
     default = {(r.osm_id, r.ref) for r in conflate(osm, imports).collect()}
     assert default == {(1, "A")}
+
+
+def _spray_to_dict(rows):
+    return {r.osm_id: dict(r.dbg) for r in rows if r.dbg}
+
+
+def test_greedy_debug_spray_matches_reference_on_cascade_corpus(spark):
+    """Shrinking-set -debug spray parity (the last documented divergence):
+    on the cascade corpus O1 matches A and removes it, so the reference
+    tags O2 with HAUSDORFF against the REMAINING set {B} (4 m) — the
+    order-free full_debug_spray answers 3 m (A, full set). The greedy
+    spray must equal the reference byte-for-byte."""
+    osm_pdf, import_pdf = _cascade_fixture()
+    _, want = run_reference_merge(osm_pdf, import_pdf, debug=True)
+
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    imports = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA)
+
+    got = _spray_to_dict(greedy_debug_spray(osm, imports).collect())
+    assert got == want
+    # the corpus really exercises the boundary: full-set spray differs here
+    full = _spray_to_dict(full_debug_spray(osm, imports).collect())
+    assert full != want
+    assert full[2]["HAUSDORFF"] != want[2]["HAUSDORFF"]
+
+
+def test_greedy_debug_spray_matches_reference_on_standard_corpus(spark):
+    """On the unique-best fixture (incl. SIZE area-gate rejections and
+    sub-1m IDENTICAL rows) the greedy spray, the order-free spray and the
+    reference all agree."""
+    osm_pdf, import_pdf = FX.conflation_pdfs(64)
+    _, want = run_reference_merge(osm_pdf, import_pdf, debug=True)
+    assert any("SIZE" in t for t in want.values())  # fixture exercises SIZE
+    assert any("IDENTICAL" in t for t in want.values())
+
+    osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+    imports = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA)
+    got = _spray_to_dict(greedy_debug_spray(osm, imports).collect())
+    assert got == want
 
 
 def test_greedy_equals_mutual_best_on_unique_best_corpus(spark):

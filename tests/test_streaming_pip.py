@@ -185,11 +185,14 @@ def test_incremental_conflate_overlap_guard(spark, tmp_path):
             checkpoint_dir=str(tmp_path / f"ck_{tag}"), **kw,
         )
 
-    # warn path
+    # warn path — batch 1 must NOT emit the overlap warning (recording
+    # instead of simplefilter('error'): escalating ALL warnings is flaky —
+    # a GC'd py4j socket raises ResourceWarning nondeterministically)
     store = SnapshotStore(str(tmp_path / "snap_w"))
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("error")  # batch 1 must NOT warn
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
         run("w1", batch1, store=store)
+    assert not [w for w in rec if "overlaps" in str(w.message)]
     with pytest.warns(UserWarning, match="overlaps"):
         run("w2", batch2, store=store)
 
