@@ -565,6 +565,77 @@ def conflation_pdfs(n: int = 64, seed: int = 42):
     return pd.DataFrame(osm_rows), pd.DataFrame(import_rows)
 
 
+def dense_random_conflation_pdfs(seed: int = 0, clusters: int = 6, per_cluster: int = 3):
+    """(osm_pdf, import_pdf) — randomized removal-interference corpora for
+    DIFFERENTIAL testing of the greedy path against the reference
+    (building_merge.py:680-735): clusters of mutually-overlapping candidate
+    bboxes where several OSM buildings contend for the same imports, so the
+    greedy scan order and in-place removal decide both the match set and
+    the -debug spray. Cluster anchors sit ≥200 m apart (candidate-graph
+    components stay cluster-local); within a cluster per_cluster OSM and
+    per_cluster+1 import squares jitter up to ±9 m around the anchor, so
+    every in-cluster pair passes the ±2·margin strict bbox test. One
+    import per cluster duplicates an OSM ring exactly (sub-1m IDENTICAL
+    path); alternate clusters tag one OSM building (5 m tagged margin);
+    import sides range wider than OSM sides (area-ratio-gate SIZE path).
+    osm_id and ref are ascending in row order so the engine's default scan
+    orders equal the reference's insertion orders."""
+    from .. import geom as G
+
+    rng = np.random.default_rng(seed)
+    minlon, minlat, _, _ = BBOX
+    m_lat = 1.0 / 111320.0
+    osm_rows, import_rows = [], []
+    osm_id = 0
+    ref_i = 0
+    for c in range(clusters):
+        ax = minlon + 0.01 + (c % 4) * 0.006
+        ay = minlat + 0.01 + (c // 4) * 0.003
+        m_lon = m_lat / np.cos(np.radians(ay))
+
+        def jittered_ring(w_lo, w_hi):
+            dx, dy = rng.uniform(-9, 9, 2)
+            w, h = rng.uniform(w_lo, w_hi, 2)
+            ang = float(rng.uniform(0, 180))
+            return _rect_ring(ax + dx * m_lon, ay + dy * m_lat, float(w), float(h), ang)
+
+        rings_o = [jittered_ring(8, 14) for _ in range(per_cluster)]
+        for j, ring in enumerate(rings_o):
+            arr = np.asarray(ring, dtype=np.float64)
+            clon, clat = G.polygon_centre(arr)
+            tagged = bool(j == per_cluster - 1 and c % 2)
+            tags = {"building": "house", "name": "T"} if tagged else {"building": "yes"}
+            osm_id += 1
+            osm_rows.append(
+                {
+                    "osm_id": osm_id,
+                    "ring": ring,
+                    "c_lon": clon,
+                    "c_lat": clat,
+                    "area": abs(G.polygon_area_merge(arr)),
+                    "tagged": tagged,
+                    "ref_tag": None,
+                    "tags": tags,
+                }
+            )
+        for j in range(per_cluster + 1):
+            ring = rings_o[0] if j == 0 else jittered_ring(6, 16)
+            arr = np.asarray(ring, dtype=np.float64)
+            clon, clat = G.polygon_centre(arr)
+            ref_i += 1
+            import_rows.append(
+                {
+                    "ref": str(50000000 + ref_i),
+                    "ring": ring,
+                    "c_lon": clon,
+                    "c_lat": clat,
+                    "area": abs(G.polygon_area_merge(arr)),
+                    "building": "house",
+                }
+            )
+    return pd.DataFrame(osm_rows), pd.DataFrame(import_rows)
+
+
 def city_conflation_pdfs(n: int, urban_frac: float = 0.2, seed: int = 42):
     """(osm_pdf, import_pdf) at CITY scale with the central-Oslo skew
     shape: urban_frac of the buildings pack a dense core at ~25 m pitch

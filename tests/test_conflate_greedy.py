@@ -75,6 +75,31 @@ def test_greedy_debug_spray_matches_reference_on_standard_corpus(spark):
     assert got == want
 
 
+def test_greedy_parity_randomized_dense_corpora(spark):
+    """Randomized differential sweep: on dense removal-interference corpora
+    (overlapping candidate bboxes, identical twins, tagged margins, area
+    rejects) conflate_greedy's match set AND greedy_debug_spray's tag
+    surface must equal the imported reference byte-for-byte, seed by seed.
+    At least one seed must also diverge from the order-free forms — proof
+    the corpus family actually exercises the shrinking-set boundary."""
+    diverged = 0
+    for seed in range(4):
+        osm_pdf, import_pdf = FX.dense_random_conflation_pdfs(seed=seed)
+        want_matched, want_tags = run_reference_merge(osm_pdf, import_pdf, debug=True)
+        assert want_matched  # corpus sanity: some matches every seed
+
+        osm = spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA)
+        imports = spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA)
+        got_m = {(r.osm_id, r.ref) for r in conflate_greedy(osm, imports).collect()}
+        assert got_m == want_matched, f"match set diverged at seed {seed}"
+        got_t = _spray_to_dict(greedy_debug_spray(osm, imports).collect())
+        assert got_t == want_tags, f"debug spray diverged at seed {seed}"
+
+        full_t = _spray_to_dict(full_debug_spray(osm, imports).collect())
+        diverged += full_t != want_tags
+    assert diverged >= 1
+
+
 def test_greedy_equals_mutual_best_on_unique_best_corpus(spark):
     """On the standard fixture (unique best matches) greedy, mutual-best
     and the reference all agree — default behavior is unchanged."""
