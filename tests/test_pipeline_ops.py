@@ -47,6 +47,35 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert near_found >= 17
 
 
+def test_minhash_kernel_equivalence(spark, docs):
+    """arrow (default) and native signature kernels are bit-identical —
+    same int64 arithmetic, numpy reduceat vs array_min(transform(...));
+    covers both base hashes (the kernel only sees the bases arrays) and
+    short docs (< k words → whole-doc fold branch)."""
+    short = spark.createDataFrame(
+        [("s1", "one"), ("s2", "two words"), ("s3", "exactly three words")],
+        schema="doc_id string, text string",
+    )
+    docs_long = docs.select("doc_id", "text").limit(500)  # bigint ids
+    for base_hash in ("md5", "xxhash64"):
+        for frame in (docs_long, short):  # covers long + string id types
+            arrow = D.minhash_signatures(frame, base_hash=base_hash, kernel="arrow")
+            native = D.minhash_signatures(frame, base_hash=base_hash, kernel="native")
+            diff = (
+                arrow.alias("a")
+                .join(native.alias("n"), "doc_id", "full")
+                .where(
+                    F.col("a.sig").isNull()
+                    | F.col("n.sig").isNull()
+                    | (F.col("a.sig") != F.col("n.sig"))
+                )
+                .count()
+            )
+            assert diff == 0, (base_hash, frame.columns)
+    with pytest.raises(ValueError):
+        D.minhash_signatures(docs_long, kernel="bogus")
+
+
 def test_exact_jaccard_verification(spark, docs):
     sigs = D.minhash_signatures(docs, n_hashes=64)
     pairs = D.minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
