@@ -67,12 +67,13 @@ def main() -> None:
         ).minhash_signatures(
             spark.read.parquet(f"{SF}/documents.parquet")
         ),
-        "MAP-ONLY: 64 array_min(transform(...)) expressions over the\n"
-        "per-document shingle-base array — no explode, no aggregation, no\n"
-        "exchange, no UDF. The whole signature computation is one Project\n"
-        "over the scan (round 2; the explode+groupBy form it replaced\n"
-        "computes identical values at comparable kernel cost but pays an\n"
-        "exchange of 64-column rows).",
+        "MAP-ONLY: Scan -> Project (shingle-base arrays, native) ->\n"
+        "ArrowEvalPython/MapInArrow (64 numpy reduceat min-folds) — no\n"
+        "explode, no aggregation, no exchange. Round 4 default: the Arrow\n"
+        "kernel computes bit-identical signatures 3x faster than the\n"
+        "native 64 x array_min(transform(...)) Project it replaced\n"
+        "(kernel='native' keeps that all-JVM form; the explode+groupBy\n"
+        "form rejected in round 2 pays an exchange of 64-column rows).",
     )
     add(
         "SimHash (native, round 2)",

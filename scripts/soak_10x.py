@@ -2,7 +2,8 @@
 the standing bench scales, confirming the linearity claims —
 
   * PIP tile assignment at 160 M points (bench flagship: 16 M),
-  * city conflation at 5 M buildings (bench: 1 M).
+  * city conflation at 5 M buildings (bench: 1 M),
+  * MinHash+LSH dedup at 5 M documents (bench: 500 k) — --with-dedup.
 
 Inputs are the SAME executor-side deterministic generators the bench
 uses (fixtures are pure functions of id — the driver never sees a row),
@@ -60,6 +61,8 @@ def main() -> None:
     ap.add_argument("--conf-n", type=int, default=5_000_000)
     ap.add_argument("--skip-pip", action="store_true")
     ap.add_argument("--skip-conflate", action="store_true")
+    ap.add_argument("--with-dedup", action="store_true")
+    ap.add_argument("--dedup-n", type=int, default=5_000_000)
     args = ap.parse_args()
 
     spark = get_spark(app="soak10x", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -107,6 +110,35 @@ def main() -> None:
             "jvm_rss_gb": round(jvm_rss_gb(), 2),
         }
         print(json.dumps({"conflate": out["conflate"]}))
+
+    if args.with_dedup:
+        from building2osm_spark.operators import dedupe as DD
+        from building2osm_spark.sources.fixtures import distributed_documents
+
+        n = args.dedup_n
+        docs_p = bench.bench_path(f"docs_soak{n}")
+        if not os.path.exists(os.path.join(docs_p, "_SUCCESS")):
+            distributed_documents(spark, n).write.mode("overwrite").parquet(docs_p)
+        docs = spark.read.parquet(docs_p)
+
+        def dedup_job() -> int:
+            sigs = DD.minhash_signatures(docs, base_hash="xxhash64")
+            return DD.minhash_lsh_pairs(sigs, bands=16, threshold=0.5).count()
+
+        dedup_job()  # warm-up
+        t0 = time.time()
+        pairs = dedup_job()
+        dt = time.time() - t0
+        out["dedup"] = {
+            "n_docs": n,
+            "pairs": pairs,
+            # docs with id%10==0, id>0 are near-dups of their predecessor
+            "planted": (n - 1) // 10,
+            "sec": round(dt, 2),
+            "rows_per_sec": round(n / dt, 1),
+            "jvm_rss_gb": round(jvm_rss_gb(), 2),
+        }
+        print(json.dumps({"dedup": out["dedup"]}))
 
     out["driver_peak_rss_gb"] = round(peak_rss_gb(), 2)
     print(json.dumps(out))
