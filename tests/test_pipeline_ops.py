@@ -473,13 +473,21 @@ def test_ivf_prebuilt_index_matches_inline(spark):
 
 
 def test_minhash_signature_plan_is_map_only(spark, docs):
-    """Scale contract: the signature computation is one Project over the
-    scan — no Exchange, no aggregate, no Python eval node."""
-    sigs = D.minhash_signatures(docs.select("doc_id", "text"), base_hash="xxhash64")
-    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    """Scale contract: the signature computation never shuffles or
+    aggregates, for BOTH kernels. The arrow default is Scan -> Project
+    (bases) -> one MapInArrow node; the native form is one Project over
+    the scan with no Python/Arrow eval node at all."""
+    base = docs.select("doc_id", "text")
+    arrow = D.minhash_signatures(base, base_hash="xxhash64")
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan
-    assert "Python" not in plan  # no Arrow/UDF eval in the hot path
+    assert plan.count("MapInArrow") == 1  # exactly one kernel boundary
+    native = D.minhash_signatures(base, base_hash="xxhash64", kernel="native")
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+    assert "Python" not in plan and "Arrow" not in plan  # all-JVM hot path
 
 
 def test_simhash_plan_is_map_only(spark, docs):
