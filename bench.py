@@ -380,8 +380,13 @@ def run_scaling(n: int) -> dict:
         # pillar measures the full operator) must be dwarfed by kernel
         # time or it caps the 8-core wall (measured 0.68 at n=50k,
         # 0.84 at n=200k with the same per-core kernel throughput)
+        # sessions=3 (not 2): this pillar is the north-rule audit point
+        # and its min-of-sessions estimator is the dominant variance
+        # lever — a third interleaved session pair costs ~1 min and
+        # measurably tightens the floor (six-window spread 0.69-0.97
+        # was driven by single-session noise at one level)
         "rectify_2_to_8": _scaling_for("rectify", 200_000, levels=(2, 8),
-                                       sessions=2, controls=ctl_2_8),
+                                       sessions=3, controls=ctl_2_8),
     }
 
 
