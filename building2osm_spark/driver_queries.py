@@ -1802,6 +1802,98 @@ def _compact_oracle_sql() -> str:
 ORACLE_COVER_COMPACT = _compact_oracle_sql()
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style 13-gram overlap): the
+    benchmark is the 20-word prefix of every 37th document, so the
+    corpus originals of those docs flag with a handful of overlapping
+    grams, sub-13-word docs exercise the whole-text-gram branch at 1 hit
+    (below min_overlap=3 → clean), and everything else counts 0."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 5).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 20)).alias(
+            "text"
+        ),
+    )
+    return DD.decontaminate(docs, bench, ngram=13, min_overlap=3)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 20), ' ')
+         AS text
+  FROM documents WHERE doc_id % 37 = 5
+),
+bwords AS (SELECT string_split_regex(lower(text), '\\s+') AS ws FROM bench),
+bgrams AS (
+  SELECT DISTINCT
+         CAST(CAST('0x' || substring(md5(g), 1, 15) AS UBIGINT)
+              % {DD._MERSENNE} AS BIGINT) AS h
+  FROM (
+    SELECT unnest(CASE WHEN len(ws) >= 13
+                  THEN list_transform(range(1, len(ws) - 11),
+                       i -> array_to_string(list_slice(ws, i, i + 12), ' '))
+                  ELSE [array_to_string(ws, ' ')] END) AS g
+    FROM bwords)
+),
+cwords AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+),
+cgrams AS (
+  SELECT DISTINCT doc_id,
+         CAST(CAST('0x' || substring(md5(g), 1, 15) AS UBIGINT)
+              % {DD._MERSENNE} AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= 13
+                  THEN list_transform(range(1, len(ws) - 11),
+                       i -> array_to_string(list_slice(ws, i, i + 12), ' '))
+                  ELSE [array_to_string(ws, ' ')] END) AS g
+    FROM cwords)
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM cgrams JOIN bgrams USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(h.c, 0) AS contaminated_ngrams,
+  coalesce(h.c, 0) >= 3 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document 3-gram repetition (Gopher/MassiveText quality rule
+    family) over the documents table — map-only size/array_distinct over
+    the per-doc shingle-hash array."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return DD.intra_doc_repetition(docs, ngram=3)
+
+
+ORACLE_REPETITION = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(g), 1, 15) AS UBIGINT)
+              % {DD._MERSENNE} AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws) - 1),
+                       i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                  ELSE [array_to_string(ws, ' ')] END) AS g
+    FROM words)
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_ngrams,
+  CAST(count(DISTINCT h) AS BIGINT) AS distinct_ngrams,
+  1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS repeated_fraction
+FROM grams GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1858,6 +1950,8 @@ QUERIES = {
     "image_phash_buckets": q_image_phash_buckets,
     "audio_features": q_audio_features,
     "cover_compact": q_cover_compact,
+    "decontaminate": q_decontaminate,
+    "repetition_profile": q_repetition_profile,
 }
 
 ORACLES = {
@@ -1890,6 +1984,8 @@ ORACLES = {
     "minhash_near_dups": ORACLE_MINHASH,
     "ngram_dup_profile": ORACLE_NGRAM_DUP,
     "ngram_dup_winnowed": ORACLE_NGRAM_WINNOWED,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "repetition_profile": ORACLE_REPETITION,
     "simhash_pairs": ORACLE_SIMHASH,
     "ngram_jaccard_verify": ORACLE_NGRAM,
     # IVF with nprobe = n_centroids probes the full corpus → exact: the

@@ -807,3 +807,97 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+    base_hash: str = "md5",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """(id, contaminated_ngrams, contaminated) — benchmark decontamination:
+    per corpus document, the number of its distinct word n-grams that also
+    occur anywhere in the benchmark corpus, and a flag at >= min_overlap.
+    The standard eval-leakage filter for training corpora (GPT-3 appendix C
+    uses 13-gram overlap; the reference engine has no counterpart — this is
+    the training-pipeline axis).
+
+    Scale shape: the benchmark's distinct gram-hash set is TINY relative to
+    the corpus (eval suites are ~1e5-1e7 grams), so it is broadcast and the
+    corpus side stays MAP-ONLY through the semi-join — no corpus-sized
+    shuffle at all. Only grams that survive the broadcast join (actual
+    contamination hits, rare by construction) reach the per-document
+    aggregation, and the final left join back to ids carries one row per
+    corpus document. Grams never leave the scan stage as strings with
+    base_hash='xxhash64'; 'md5' (default) is the exact-DuckDB-oracle anchor.
+
+    A document shorter than `ngram` words contributes its whole-text gram
+    (same contract as the profile ops): a verbatim short benchmark doc in
+    the corpus still flags."""
+    # explode_outer, not explode: the non-outer Generate pushes an implicit
+    # `size(__bases) > 0` filter BELOW the bases Project, inlining the whole
+    # shingle mega-expression a second time without codegen sharing (NOTES
+    # hard-won fact 16). _shingle_bases never returns an empty array (short
+    # docs get the whole-text gram), so outer semantics are identical — the
+    # one NULL a null-text row would produce is already filtered upstream.
+    bench_grams = (
+        _shingle_bases(benchmark, text_col, id_col, ngram, base_hash)
+        .select(F.explode_outer("__bases").alias("__h"))
+        .distinct()
+    )
+    corpus_grams = (
+        _shingle_bases(corpus, text_col, id_col, ngram, base_hash)
+        .select(id_col, F.explode_outer("__bases").alias("__h"))
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "__h")
+        # distinct AFTER the broadcast join: only contamination hits pay
+        # the exchange, and each doc counts a shared gram once
+        .select(id_col, "__h")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contaminated_ngrams"))
+    )
+    return (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(id_col)
+        .join(hits, id_col, "left")
+        .fillna({"contaminated_ngrams": 0})
+        .withColumn(
+            "contaminated", F.col("contaminated_ngrams") >= F.lit(min_overlap)
+        )
+    )
+
+
+def intra_doc_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """(id, n_ngrams, distinct_ngrams, repeated_fraction) — WITHIN-document
+    n-gram repetition (the Gopher/MassiveText quality rule family: a high
+    duplicate-n-gram fraction marks boilerplate, keyword stuffing and
+    degenerate generations). Complements cross_doc_ngram_profile, which
+    measures duplication ACROSS documents.
+
+    repeated_fraction = 1 - distinct/total over the document's n-gram
+    multiset (position count, not characters). MAP-ONLY: size +
+    array_distinct over the per-document base-hash array — zero shuffles,
+    scales as a pure scan. Distinctness is computed on the Mersenne-reduced
+    base hashes in BOTH engines (collision-equivalent, exact oracle)."""
+    bases = _shingle_bases(df, text_col, id_col, ngram, base_hash)
+    n = F.size("__bases")
+    d = F.size(F.array_distinct("__bases"))
+    return bases.select(
+        F.col(id_col),
+        n.cast("long").alias("n_ngrams"),
+        d.cast("long").alias("distinct_ngrams"),
+        (F.lit(1.0) - d.cast("double") / n.cast("double")).alias(
+            "repeated_fraction"
+        ),
+    )

@@ -511,3 +511,80 @@ def test_null_text_documents_are_dropped_not_zero_hashed(spark):
     assert sigs.count() == 1 and sigs.first()["doc_id"] == "a"
     sigs_md5 = D.minhash_signatures(df)
     assert sigs_md5.count() == 1
+
+
+def test_decontaminate_planted(spark):
+    """Planted contamination: benchmark doc B's text appears verbatim
+    inside corpus doc 1 (7 shared 4-grams of the 10-word passage), doc 2
+    shares a single 4-gram (below min_overlap=2), doc 3 shares none, and
+    the short-doc branch (benchmark doc shorter than ngram -> whole-text
+    gram) flags an exact short copy."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {passage} outro words"),
+            (2, "unrelated text alpha beta gamma delta nothing else here"),
+            (3, "completely different content with no shared phrases at all"),
+            (4, "tiny doc"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, passage), (101, "tiny doc")], "doc_id long, text string"
+    )
+    out = D.decontaminate(corpus, bench, ngram=4, min_overlap=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # NULL text dropped
+    assert rows[1]["contaminated_ngrams"] == 7 and rows[1]["contaminated"]
+    assert rows[2]["contaminated_ngrams"] == 1 and not rows[2]["contaminated"]
+    assert rows[3]["contaminated_ngrams"] == 0 and not rows[3]["contaminated"]
+    # short-doc whole-text gram: 1 hit, below min_overlap=2
+    assert rows[4]["contaminated_ngrams"] == 1 and not rows[4]["contaminated"]
+    # xxhash64 fast path: identical counts (collision-equivalent domain)
+    out2 = D.decontaminate(corpus, bench, ngram=4, min_overlap=2,
+                           base_hash="xxhash64")
+    rows2 = {r["doc_id"]: r["contaminated_ngrams"] for r in out2.collect()}
+    assert rows2 == {k: r["contaminated_ngrams"] for k, r in rows.items()}
+
+
+def test_decontaminate_broadcasts_benchmark(spark, docs):
+    """Scale contract: the benchmark gram set rides a BroadcastExchange;
+    the corpus side reaches the join without any shuffle exchange."""
+    bench = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    out = D.decontaminate(docs.select("doc_id", "text"), bench, ngram=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # fact-16 guard: no implicit size(bases)>0 filter re-inlining the
+    # shingle mega-expression below the Project (explode_outer, not explode)
+    assert "size(transform" not in plan
+    # the corpus gram stream reaches the broadcast gram join unshuffled:
+    # the join's streamed branch (between the join node and its
+    # BroadcastExchange build side) contains no exchange
+    streamed = plan.split("BroadcastHashJoin [__h", 1)[1].split(
+        "BroadcastExchange", 1
+    )[0]
+    assert "Exchange" not in streamed
+
+
+def test_intra_doc_repetition(spark):
+    out = D.intra_doc_repetition(
+        spark.createDataFrame(
+            [
+                (1, "a b c a b c a b"),   # 3-grams: abc bca cab abc bca cab -> 3/6 distinct
+                (2, "x y z w"),           # all distinct
+                (3, "q q q q q"),         # one distinct gram, 3 positions
+                (4, "t u"),               # short doc: whole-text gram
+            ],
+            "doc_id long, text string",
+        ),
+        ngram=3,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert (rows[1]["n_ngrams"], rows[1]["distinct_ngrams"]) == (6, 3)
+    assert rows[1]["repeated_fraction"] == 1.0 - 3 / 6
+    assert (rows[2]["n_ngrams"], rows[2]["distinct_ngrams"]) == (2, 2)
+    assert (rows[3]["n_ngrams"], rows[3]["distinct_ngrams"]) == (3, 1)
+    assert (rows[4]["n_ngrams"], rows[4]["distinct_ngrams"]) == (1, 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "HashAggregate" not in plan
