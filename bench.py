@@ -748,6 +748,33 @@ def main() -> None:
 
     timed("ngram_winnow_500k", ngram_winnow_500k)
 
+    def decontaminate_500k():
+        # benchmark decontamination at corpus scale: the ~2k-doc benchmark
+        # gram set is broadcast, so the 500k-doc corpus side runs MAP-ONLY
+        # through the 13-gram semi-join — no corpus-sized shuffle; only
+        # actual contamination hits (rare by construction) reach the
+        # per-doc aggregation. The flagged count is planted-overlap
+        # evidence: every corpus original of a benchmark prefix flags.
+        from building2osm_spark.operators import dedupe as DDop
+
+        path = bench_path("docs_500k")
+        docs = spark.read.parquet(path).select("doc_id", "text")
+        bench = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(250)) == 7).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split("text", r"\s+"), 1, 30)).alias("text"),
+        )
+        n = (
+            DDop.decontaminate(
+                docs, bench, ngram=13, base_hash="xxhash64", min_overlap=3
+            )
+            .filter("contaminated")
+            .count()
+        )
+        extras["decontaminate_500k_flagged"] = n
+        return n
+
+    timed("decontaminate_500k", decontaminate_500k)
+
     def phash_dedup_500k():
         # image near-dup detection at corpus scale: 500k images (textured
         # corpus, phash ~uniform) with 50k planted lossy re-encodes; the
