@@ -381,10 +381,14 @@ def cross_doc_ngram_profile(
         )
     else:
         # md5 hashes the literal shingle strings — bit-reproducible in
-        # ANSI SQL, the exact-oracle anchor; string explode is inherent
+        # ANSI SQL, the exact-oracle anchor; string explode is inherent.
+        # explode_outer, not explode: the non-outer Generate pushes an
+        # implicit size()>0 filter below the Project that re-evaluates the
+        # whole shingle CASE/transform per row (hard-won fact 23);
+        # word_shingles never returns an empty array for non-null text
         grams = df.select(
             F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), ngram)).alias("__g"),
+            F.explode_outer(word_shingles(F.col(text_col), ngram)).alias("__g"),
         ).select(id_col, _base_hash(F.col("__g"), base_hash).alias("__h"))
     if sample_mod is not None:
         grams = grams.filter(F.col("__h") % sample_mod == 0)
