@@ -1894,6 +1894,173 @@ FROM grams GROUP BY doc_id
 """
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning composition — the five
+    pipeline stages chained as ONE Catalyst plan: exact dedup (keep
+    lowest id per identical text) → language-ID gate (en) → quality
+    gate (≥0.5) → intra-doc repetition gate (3-gram, ≤0.05) →
+    benchmark decontamination gate (13-gram, <3 overlaps). Each stage
+    is individually oracle-proven; this query pins the COMPOSITION
+    (join shapes, gate ordering, survivor set) against one independent
+    SQL formulation."""
+    from .operators import dedupe as DD
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # planted exact duplicates (ids +200000) activate the dedup gate:
+    # the copies lose to their lower-id originals and must not survive
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    bench = base.filter(F.col("doc_id") % 37 == 5).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 20)).alias(
+            "text"
+        ),
+    )
+    rep = DD.intra_doc_repetition(docs, ngram=3).select(
+        "doc_id", "repeated_fraction"
+    )
+    dec = DD.decontaminate(docs, bench, ngram=13, min_overlap=3).select(
+        "doc_id", "contaminated"
+    )
+    kept = DD.exact_dedup(docs).select("doc_id")
+    return (
+        docs.join(kept, "doc_id")
+        .withColumn("lang_guess", language_id(F.col("text")))
+        .withColumn("quality", quality_score(F.col("text")))
+        .join(rep, "doc_id")
+        .join(dec, "doc_id")
+        .filter(
+            (F.col("lang_guess") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("repeated_fraction") <= 0.05)
+            & ~F.col("contaminated")
+        )
+        .select("doc_id", "lang_guess", "quality", "repeated_fraction")
+    )
+
+
+def _corpus_clean_oracle_sql() -> str:
+    langs = {
+        "en": ["the", "and", "of", "a", "to", "in", "is"],
+        "de": ["der", "die", "und", "das", "nicht", "ist"],
+        "fr": ["le", "la", "et", "les", "des", "est"],
+        "es": ["el", "la", "de", "los", "es", "una"],
+    }
+    scores = ",\n    ".join(
+        f"{_stopword_sql(ws)} AS s_{l}" for l, ws in langs.items()
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 10
+),
+dedup AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM corpus) WHERE rn = 1
+),
+wds AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS words
+  FROM corpus
+),
+lang AS (
+  SELECT doc_id,
+    {scores}
+  FROM wds
+),
+lang_best AS (
+  -- same tie order as the engine's array_max over struct(score, lang):
+  -- highest score wins, ties go to the lexicographically LAST lang
+  SELECT doc_id, CASE
+    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+    WHEN s_en >= s_de THEN 'en'
+    ELSE 'de' END AS lang_guess
+  FROM lang
+),
+qual AS (
+  SELECT doc_id,
+    CAST(round(
+        least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+      * (CASE WHEN CAST(length(text) AS DOUBLE)
+                / greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+                           AS DOUBLE), 1.0)
+                BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+      * (CASE WHEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                   AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0) < 0.1
+              THEN 1.0 ELSE 0.6 END), 6) AS DOUBLE) AS quality
+  FROM corpus
+),
+rep_grams AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(g), 1, 15) AS UBIGINT)
+              % {DD._MERSENNE} AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(words) >= 3
+                  THEN list_transform(range(1, len(words) - 1),
+                       i -> array_to_string(list_slice(words, i, i + 2), ' '))
+                  ELSE [array_to_string(words, ' ')] END) AS g
+    FROM wds)
+),
+rep AS (
+  SELECT doc_id,
+    1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS repeated_fraction
+  FROM rep_grams GROUP BY doc_id
+),
+bench AS (
+  SELECT array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 20), ' ')
+         AS text
+  FROM documents WHERE doc_id % 37 = 5
+),
+bgrams AS (
+  SELECT DISTINCT
+         CAST(CAST('0x' || substring(md5(g), 1, 15) AS UBIGINT)
+              % {DD._MERSENNE} AS BIGINT) AS h
+  FROM (
+    SELECT unnest(CASE WHEN len(ws) >= 13
+                  THEN list_transform(range(1, len(ws) - 11),
+                       i -> array_to_string(list_slice(ws, i, i + 12), ' '))
+                  ELSE [array_to_string(ws, ' ')] END) AS g
+    FROM (SELECT string_split_regex(lower(text), '\\s+') AS ws FROM bench))
+),
+cgrams AS (
+  SELECT DISTINCT doc_id,
+         CAST(CAST('0x' || substring(md5(g), 1, 15) AS UBIGINT)
+              % {DD._MERSENNE} AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(words) >= 13
+                  THEN list_transform(range(1, len(words) - 11),
+                       i -> array_to_string(list_slice(words, i, i + 12), ' '))
+                  ELSE [array_to_string(words, ' ')] END) AS g
+    FROM wds)
+),
+hits AS (
+  SELECT doc_id, count(*) AS c FROM cgrams JOIN bgrams USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id, lb.lang_guess, q.quality, r.repeated_fraction
+FROM corpus d
+JOIN dedup USING (doc_id)
+JOIN lang_best lb USING (doc_id)
+JOIN qual q USING (doc_id)
+JOIN rep r USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+WHERE lb.lang_guess = 'en' AND q.quality >= 0.5
+  AND r.repeated_fraction <= 0.05 AND coalesce(h.c, 0) < 3
+"""
+
+
+ORACLE_CORPUS_CLEAN = _corpus_clean_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1952,6 +2119,7 @@ QUERIES = {
     "cover_compact": q_cover_compact,
     "decontaminate": q_decontaminate,
     "repetition_profile": q_repetition_profile,
+    "corpus_clean": q_corpus_clean,
 }
 
 ORACLES = {
@@ -1986,6 +2154,7 @@ ORACLES = {
     "ngram_dup_winnowed": ORACLE_NGRAM_WINNOWED,
     "decontaminate": ORACLE_DECONTAMINATE,
     "repetition_profile": ORACLE_REPETITION,
+    "corpus_clean": ORACLE_CORPUS_CLEAN,
     "simhash_pairs": ORACLE_SIMHASH,
     "ngram_jaccard_verify": ORACLE_NGRAM,
     # IVF with nprobe = n_centroids probes the full corpus → exact: the
