@@ -85,29 +85,53 @@ def main() -> None:
         "votes is an aggregate() fold over it, packed bitwise. One Project\n"
         "over the scan, zero Python eval nodes, zero exchanges.",
     )
+    def _conflate_df():
+        # plan shape is size-independent; build the city-shape inputs
+        # inline (the old /tmp/bench_*_city100k.parquet reads broke when
+        # bench fixture paths became content-tagged)
+        from building2osm_spark.operators.conflate import conflate
+        from building2osm_spark.sources.fixtures import (
+            IMPORT_CONFLATE_SCHEMA,
+            OSM_CONFLATE_SCHEMA,
+            city_conflation_pdfs,
+        )
+
+        osm_pdf, imp_pdf = city_conflation_pdfs(400)
+        return conflate(
+            spark.createDataFrame(osm_pdf, schema=OSM_CONFLATE_SCHEMA),
+            spark.createDataFrame(imp_pdf, schema=IMPORT_CONFLATE_SCHEMA),
+        )
+
     add(
         "Conflation (city-scale shape, round 2)",
-        __import__(
-            "building2osm_spark.operators.conflate", fromlist=["conflate"]
-        ).conflate(
-            spark.read.parquet("/tmp/bench_osm_city100k.parquet"),
-            spark.read.parquet("/tmp/bench_imp_city100k.parquet"),
-        ),
+        _conflate_df(),
         "The 9-cell candidate join and bbox filter carry only (id, centre,\n"
         "area, flag) tuples; ring payloads join in AFTER the filter, once\n"
         "per surviving pair, feeding a single Arrow Hausdorff eval. Mutual\n"
         "best = two windows on one lineage (rn_fwd=1 AND rn_rev=1) — no\n"
-        "persist, no self-join. Requires /tmp/bench_osm_city100k.parquet\n"
-        "(python bench.py generates it).",
+        "persist, no self-join.",
     )
+    def _rectify_df():
+        # plan shape is size-independent; build the input inline (the old
+        # /tmp/bench_rect100k.parquet read broke when bench fixture paths
+        # became content-tagged)
+        from building2osm_spark.operators.geometry_passes import (
+            rectify_and_simplify,
+        )
+        from building2osm_spark.sources.fixtures import (
+            GEOMETRY_POLYGON_T,
+            building_geometries,
+        )
+
+        df = spark.createDataFrame(
+            building_geometries(200),
+            schema=f"ref string, geometry {GEOMETRY_POLYGON_T}",
+        )
+        return rectify_and_simplify(df)
+
     add(
         "Rectify+simplify (fully fused per component, round 2)",
-        __import__(
-            "building2osm_spark.operators.geometry_passes",
-            fromlist=["rectify_and_simplify"],
-        ).rectify_and_simplify(
-            spark.read.parquet("/tmp/bench_rect100k.parquet")
-        ),
+        _rectify_df(),
         "Both branches of the union run the SAME fused rectify+simplify\n"
         "kernel: singletons map-only after a broadcast anti-join against\n"
         "the component map; the shared-vertex minority repartitions once by\n"
@@ -146,13 +170,34 @@ def main() -> None:
         "never carries geometry.",
     )
 
-    with open("/root/repo/PLANS.md", "w") as f:
+    # PLANS.md also carries manually-appended sections (round-3/4 plan
+    # evidence: n-gram profile, bucketed conflation, decontamination, ...)
+    # that this script does not regenerate. Refuse to silently delete them:
+    # rewrite only the known sections in place, keep everything after the
+    # first unknown '## ' heading verbatim.
+    path = "/root/repo/PLANS.md"
+    known = {t for t, _, _ in sections}
+    tail = ""
+    try:
+        old = open(path).read()
+        chunks = old.split("\n## ")[1:]
+        unknown = [c for c in chunks if c.split("\n", 1)[0].strip() not in known]
+        if unknown:
+            first = "\n## " + unknown[0]
+            tail = old[old.index(first):]
+            print(f"preserving {len(unknown)} manually-appended section(s)")
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
         f.write(
             "# PLANS — physical-plan evidence for the headline operators\n\n"
-            "Generated by `python scripts/explain_plans.py` (sf0.01, local[4]).\n"
+            "Generated by `python scripts/explain_plans.py` (sf0.01, local[4]);\n"
+            "sections after the generated block are appended by hand and\n"
+            "preserved across regeneration.\n"
         )
         for title, note, plan in sections:
             f.write(f"\n## {title}\n\n{note}\n\n```\n{plan}```\n")
+        f.write(tail)
     print("wrote PLANS.md")
 
 
