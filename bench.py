@@ -704,14 +704,15 @@ def main() -> None:
     timed("image_assign_500k", image_assign_500k)
 
     def ngram_dup_500k():
-        # exact-substring dedup triage at corpus scale, EXACT path: per-doc
-        # distinct 8-gram hashes -> per-hash doc counts -> re-join; both
-        # shuffles carry 8-16 byte keys (text never leaves the scan stage).
-        # 107 s -> ~24 s in round 3: the xxhash64 scan now explodes the
-        # MATERIALIZED word-hash polynomial arrays instead of building 100M
-        # shingle strings (string construction was ~75% of the wall, not
-        # the 51M-key aggregation). sample_mod=8 (deterministic hash
-        # sample, unbiased estimator) remains the further lever: ~9 s.
+        # exact-substring dedup triage at corpus scale, EXACT path.
+        # 107 s -> ~24 s in round 3 (string-free xxhash64 scan), -> ~11-17 s
+        # in round 4: the default Arrow kernel emits per-doc np.unique
+        # (id, hash) rows straight from the bases arrays and the per-hash
+        # doc count runs as a window count — deleting the 59M-row
+        # localCheckpoint, the explode, the distinct exchange and the
+        # count join (kernel='native' keeps the all-JVM form; identical
+        # values, equivalence-tested). sample_mod=8 (deterministic hash
+        # sample, unbiased estimator) remains the further lever.
         from building2osm_spark.operators import dedupe as DDop
         from building2osm_spark.sources.fixtures import distributed_documents
 

@@ -342,6 +342,7 @@ def cross_doc_ngram_profile(
     ngram: int = 8,
     base_hash: str = "md5",
     sample_mod: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """(id, n_ngrams, dup_ngrams, dup_fraction) — the fraction of a
     document's DISTINCT word n-grams that also occur in at least one
@@ -363,10 +364,67 @@ def cross_doc_ngram_profile(
     estimator computed over ~1/m of the rows. The wall at corpus scale is
     the per-hash aggregation over ~docs × grams distinct keys (measured
     108 s exact at 500k docs, ~51M keys), so the sample cuts it ~m×;
-    None (default) is exact and what the driver oracle checks."""
+    None (default) is exact and what the driver oracle checks.
+
+    kernel='arrow' (DEFAULT, adopted on measurement — BASELINE.md round
+    4): a mapInPandas kernel takes the JVM-computed __bases arrays and
+    emits per-document np.unique (id, hash) rows directly, and the
+    per-hash doc count runs as a window count over the hash partition.
+    Versus the native form this deletes the 59M-row localCheckpoint, the
+    explode Generate, the (id, hash) distinct exchange AND the count
+    join — interleaved same-session measurement at 500k docs: ~11-17 s
+    vs 25-42 s native, identical values. No join also means no
+    AQE-misestimated-broadcast hazard on the statless Python stream (a
+    counts-side broadcast OOM'd the joined variant in testing).
+    kernel='native' keeps the all-JVM exact path (checkpoint + explode +
+    distinct + join) for sessions that must avoid Python workers."""
     # distinct at the HASH level (doc_id, h) — the map-side-combinable
     # shape (8-byte keys) and exactly what the SQL oracle computes.
     df = df.filter(F.col(text_col).isNotNull())
+    if kernel == "arrow":
+        import pandas as pd
+
+        bases_df = _shingle_bases(df, text_col, id_col, ngram, base_hash)
+
+        def uniq_kernel(batches):
+            for pdf in batches:
+                ids, hs = [], []
+                for doc_id, bs in zip(pdf[id_col], pdf["__bases"]):
+                    arr = np.unique(np.asarray(bs, dtype=np.int64))
+                    if arr.size:
+                        ids.append(np.full(arr.size, doc_id, dtype=object))
+                        hs.append(arr)
+                if ids:
+                    yield pd.DataFrame(
+                        {id_col: np.concatenate(ids), "__h": np.concatenate(hs)}
+                    )
+
+        id_t = bases_df.schema[id_col].dataType.simpleString()
+        grams = bases_df.mapInPandas(
+            uniq_kernel, schema=f"{id_col} {id_t}, __h long"
+        )
+        if sample_mod is not None:
+            grams = grams.filter(F.col("__h") % sample_mod == 0)
+        profile = (
+            grams.withColumn(
+                "__docs", F.count("*").over(Window.partitionBy("__h"))
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_ngrams"),
+                F.sum((F.col("__docs") >= 2).cast("long")).alias("dup_ngrams"),
+            )
+            .withColumn("dup_fraction", F.col("dup_ngrams") / F.col("n_ngrams"))
+        )
+        if sample_mod is not None:
+            profile = (
+                df.select(id_col)
+                .join(profile, id_col, "left")
+                .fillna({"n_ngrams": 0, "dup_ngrams": 0})
+            )
+        return profile
+    if kernel != "native":
+        raise ValueError(f"unknown kernel {kernel!r} (want 'arrow' or 'native')")
     if base_hash == "xxhash64":
         # string-free scan: the word-hash polynomial array from
         # _shingle_bases, MATERIALIZED (localCheckpoint) before the

@@ -588,3 +588,22 @@ def test_intra_doc_repetition(spark):
     assert (rows[4]["n_ngrams"], rows[4]["distinct_ngrams"]) == (1, 1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "HashAggregate" not in plan
+
+
+@pytest.mark.parametrize("base_hash", ["md5", "xxhash64"])
+def test_ngram_profile_kernel_equivalence(spark, docs, base_hash):
+    """The Arrow per-doc-unique + window-count form (default) must produce
+    the exact same profile as the all-JVM checkpoint+explode+distinct+join
+    form, for both base hashes and under sampling (where the zero-fill
+    left join must also agree)."""
+    d = docs.select("doc_id", "text")
+    for mod in (None, 8):
+        a = D.cross_doc_ngram_profile(
+            d, ngram=8, base_hash=base_hash, sample_mod=mod, kernel="arrow"
+        )
+        n = D.cross_doc_ngram_profile(
+            d, ngram=8, base_hash=base_hash, sample_mod=mod, kernel="native"
+        )
+        assert a.exceptAll(n).count() == 0 and n.exceptAll(a).count() == 0
+    with pytest.raises(ValueError):
+        D.cross_doc_ngram_profile(d, kernel="bogus")
