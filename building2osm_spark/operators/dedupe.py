@@ -613,9 +613,15 @@ def winnowed_ngram_profile(
     formulation — an independent implementation of the same selection).
     """
     fp = winnow_fingerprints(df, text_col, id_col, ngram, window, base_hash, kernel)
-    counts = fp.groupBy("__h").agg(F.count("*").alias("__docs"))
+    # window count over the hash partition, NOT groupBy+join: the join
+    # form feeds fp to TWO consumers, and on the (checkpoint-free) arrow
+    # kernel path each consumer re-runs the whole winnow kernel —
+    # measured 14.4 s join-form vs 7.0-8.5 s window-form at 500k docs,
+    # identical outputs (BASELINE.md round-4 third session). One kernel
+    # evaluation, two narrow shuffles, no join, and no AQE stats hazard
+    # on the Python stream.
     return (
-        fp.join(counts, "__h")
+        fp.withColumn("__docs", F.count("*").over(Window.partitionBy("__h")))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_fingerprints"),
