@@ -34,7 +34,13 @@ from .functions.columns import (
     polygon_area_col,
     polygon_centre_cols,
 )
-from .functions.text import doc_fingerprint, language_id, quality_score, token_count_ws
+from .functions.text import (
+    _STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count_ws,
+)
 from .operators.cover_join import assign_points_to_polygons
 from .operators.knn import knn_join
 from .operators import dedupe as DD
@@ -654,10 +660,10 @@ WITH padded_docs AS (
 ),
 scored AS (
   SELECT lang,
-    {_stopword_sql(['the', 'and', 'of', 'a', 'to', 'in', 'is'])} AS s_en,
-    {_stopword_sql(['der', 'die', 'und', 'das', 'nicht', 'ist'])} AS s_de,
-    {_stopword_sql(['le', 'la', 'et', 'les', 'des', 'est'])} AS s_fr,
-    {_stopword_sql(['el', 'la', 'de', 'los', 'es', 'una'])} AS s_es
+    {_stopword_sql(_STOPWORDS['en'])} AS s_en,
+    {_stopword_sql(_STOPWORDS['de'])} AS s_de,
+    {_stopword_sql(_STOPWORDS['fr'])} AS s_fr,
+    {_stopword_sql(_STOPWORDS['es'])} AS s_es
   FROM padded_docs
 ),
 best AS (
@@ -1943,14 +1949,11 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_clean_oracle_sql() -> str:
-    langs = {
-        "en": ["the", "and", "of", "a", "to", "in", "is"],
-        "de": ["der", "die", "und", "das", "nicht", "ist"],
-        "fr": ["le", "la", "et", "les", "des", "est"],
-        "es": ["el", "la", "de", "los", "es", "una"],
-    }
+    # stopword marker sets single-sourced from the engine's _STOPWORDS —
+    # the oracle's independence is in its SQL formulation, not in
+    # duplicating the spec constants (which would only drift)
     scores = ",\n    ".join(
-        f"{_stopword_sql(ws)} AS s_{l}" for l, ws in langs.items()
+        f"{_stopword_sql(ws)} AS s_{l}" for l, ws in _STOPWORDS.items()
     )
     return f"""
 WITH corpus AS (

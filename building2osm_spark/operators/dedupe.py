@@ -377,7 +377,19 @@ def cross_doc_ngram_profile(
     AQE-misestimated-broadcast hazard on the statless Python stream (a
     counts-side broadcast OOM'd the joined variant in testing).
     kernel='native' keeps the all-JVM exact path (checkpoint + explode +
-    distinct + join) for sessions that must avoid Python workers."""
+    distinct + join) for sessions that must avoid Python workers.
+
+    CONTRACT: id_col must be unique (it is the corpus key). The two
+    kernels agree on every unique-id corpus (equivalence-tested); on a
+    MALFORMED corpus with duplicate id rows they diverge in different
+    wrong directions — native silently merges the duplicates' gram sets
+    (its global (id, hash) distinct), arrow counts each row separately
+    and flags the id as a cross-doc dup of itself. Restoring global
+    dedup semantics on the arrow path was measured and REJECTED: a
+    distinct on the statless Python stream costs 35-66 s at 500k — worse
+    than native — so the precondition is documented (and pinned in
+    test_ngram_profile_duplicate_id_contract) instead of paid for on
+    every well-formed corpus."""
     # distinct at the HASH level (doc_id, h) — the map-side-combinable
     # shape (8-byte keys) and exactly what the SQL oracle computes.
     df = df.filter(F.col(text_col).isNotNull())

@@ -172,31 +172,42 @@ def main() -> None:
 
     # PLANS.md also carries manually-appended sections (round-3/4 plan
     # evidence: n-gram profile, bucketed conflation, decontamination, ...)
-    # that this script does not regenerate. Refuse to silently delete them:
-    # rewrite only the known sections in place, keep everything after the
-    # first unknown '## ' heading verbatim.
+    # that this script does not regenerate. Everything after the MARKER
+    # line is preserved verbatim across regeneration — a renamed generated
+    # title or a '## '-prefixed line inside a preserved code fence cannot
+    # confuse a marker split the way a heading heuristic can (review
+    # finding, round 4). The heuristic remains only as a one-time
+    # fallback for a file written before the marker existed.
     path = "/root/repo/PLANS.md"
+    marker = "<!-- hand-appended sections below; preserved by explain_plans.py -->"
     known = {t for t, _, _ in sections}
     tail = ""
     try:
         old = open(path).read()
-        chunks = old.split("\n## ")[1:]
-        unknown = [c for c in chunks if c.split("\n", 1)[0].strip() not in known]
-        if unknown:
-            first = "\n## " + unknown[0]
-            tail = old[old.index(first):]
-            print(f"preserving {len(unknown)} manually-appended section(s)")
+        if marker in old:
+            tail = old.split(marker, 1)[1]
+        else:
+            chunks = old.split("\n## ")[1:]
+            unknown = [
+                c for c in chunks if c.split("\n", 1)[0].strip() not in known
+            ]
+            if unknown:
+                first = "\n## " + unknown[0]
+                tail = "\n" + old[old.index(first):]
+        if tail.strip():
+            print("preserving hand-appended tail")
     except FileNotFoundError:
         pass
     with open(path, "w") as f:
         f.write(
             "# PLANS — physical-plan evidence for the headline operators\n\n"
             "Generated by `python scripts/explain_plans.py` (sf0.01, local[4]);\n"
-            "sections after the generated block are appended by hand and\n"
-            "preserved across regeneration.\n"
+            "sections after the marker are appended by hand and preserved\n"
+            "across regeneration.\n"
         )
         for title, note, plan in sections:
             f.write(f"\n## {title}\n\n{note}\n\n```\n{plan}```\n")
+        f.write("\n" + marker + "\n")
         f.write(tail)
     print("wrote PLANS.md")
 

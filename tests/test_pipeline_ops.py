@@ -607,3 +607,26 @@ def test_ngram_profile_kernel_equivalence(spark, docs, base_hash):
         assert a.exceptAll(n).count() == 0 and n.exceptAll(a).count() == 0
     with pytest.raises(ValueError):
         D.cross_doc_ngram_profile(d, kernel="bogus")
+
+
+def test_ngram_profile_duplicate_id_contract(spark):
+    """Documented contract: doc_id is the corpus KEY. On a malformed
+    corpus with duplicate id rows the kernels diverge in different wrong
+    directions (native silently merges the duplicates' gram sets via its
+    global distinct; arrow counts each row separately and flags the id
+    as a dup of itself). This test pins the documented behavior so a
+    semantic change is noticed; restoring global-dedup semantics on the
+    arrow path was measured-REJECTED (35-66 s vs 25-28 s native at 500k
+    — see the operator docstring)."""
+    base = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    dup = base.unionAll(base)  # malformed: every id appears twice
+    a = {r["doc_id"]: r for r in
+         D.cross_doc_ngram_profile(dup, ngram=8, kernel="arrow").collect()}
+    n = {r["doc_id"]: r for r in
+         D.cross_doc_ngram_profile(dup, ngram=8, kernel="native").collect()}
+    # arrow: each row counted -> self-dup; native: merged -> no dup
+    assert a[1]["dup_fraction"] == 1.0 and a[1]["n_ngrams"] == 6
+    assert n[1]["dup_fraction"] == 0.0 and n[1]["n_ngrams"] == 3
