@@ -630,3 +630,32 @@ def test_ngram_profile_duplicate_id_contract(spark):
     # arrow: each row counted -> self-dup; native: merged -> no dup
     assert a[1]["dup_fraction"] == 1.0 and a[1]["n_ngrams"] == 6
     assert n[1]["dup_fraction"] == 0.0 and n[1]["n_ngrams"] == 3
+
+
+def test_decontaminate_empty_benchmark(spark):
+    """An empty benchmark (or one with only NULL text) must flag nothing
+    and still emit one zero row per corpus doc — the broadcast join gets
+    an empty build side, not an error."""
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text here okay"), (2, None)],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = D.decontaminate(corpus, empty, ngram=4).collect()
+    assert {(r["doc_id"], r["contaminated_ngrams"], r["contaminated"])
+            for r in out} == {(1, 0, False)}
+    nulls = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    out2 = D.decontaminate(corpus, nulls, ngram=4).collect()
+    assert {(r["doc_id"], r["contaminated_ngrams"]) for r in out2} == {(1, 0)}
+
+
+def test_intra_doc_repetition_null_text_dropped(spark):
+    """NULL text is no document (same contract as every profile op):
+    the row is dropped, not emitted with NULL counts."""
+    out = D.intra_doc_repetition(
+        spark.createDataFrame(
+            [(1, "a b c"), (2, None)], "doc_id long, text string"
+        ),
+        ngram=3,
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
