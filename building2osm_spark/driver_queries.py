@@ -1865,6 +1865,7 @@ SELECT d.doc_id,
   coalesce(h.c, 0) AS contaminated_ngrams,
   coalesce(h.c, 0) >= 3 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.text IS NOT NULL
 """
 
 

@@ -197,6 +197,17 @@ def minhash_signatures(
                 flat = lst.flatten().to_numpy(zero_copy_only=False)
                 flat = flat.astype(np.int64, copy=False)
                 lens = lst.value_lengths().to_numpy(zero_copy_only=False)
+                # reduceat invariant: every __bases list is non-null with
+                # >=1 element (guaranteed by _shingle_bases' whole-text-gram
+                # branch). An empty slice would make reduceat silently read
+                # the NEXT document's first hash; a null list arrives as
+                # float64 NaN -> garbage int64. Fail loudly instead.
+                if lst.null_count or lens.min() == 0:
+                    raise AssertionError(
+                        "minhash arrow kernel: __bases must be non-null "
+                        "lists with >=1 element (upstream _shingle_bases "
+                        "contract violated)"
+                    )
                 starts = np.zeros(n, dtype=np.int64)
                 np.cumsum(lens[:-1], out=starts[1:])
                 sig = np.empty((n, nh), dtype=np.int64)
@@ -897,6 +908,7 @@ def decontaminate(
     ngram: int = 13,
     base_hash: str = "md5",
     min_overlap: int = 1,
+    broadcast: bool = True,
 ) -> DataFrame:
     """(id, contaminated_ngrams, contaminated) — benchmark decontamination:
     per corpus document, the number of its distinct word n-grams that also
@@ -913,6 +925,13 @@ def decontaminate(
     aggregation, and the final left join back to ids carries one row per
     corpus document. Grams never leave the scan stage as strings with
     base_hash='xxhash64'; 'md5' (default) is the exact-DuckDB-oracle anchor.
+
+    HARD CONTRACT with broadcast=True (default): the benchmark's distinct
+    gram set must fit in executor memory — ~1e8 int64 grams (~1 GB plus
+    hash-relation overhead) is the practical ceiling. Beyond that (e.g. a
+    "benchmark" that is itself a corpus slice), pass broadcast=False: the
+    join becomes a plain shuffled hash join — the corpus-sized exchange
+    returns, but nothing OOMs.
 
     A document shorter than `ngram` words contributes its whole-text gram
     (same contract as the profile ops): a verbatim short benchmark doc in
@@ -932,8 +951,9 @@ def decontaminate(
         _shingle_bases(corpus, text_col, id_col, ngram, base_hash)
         .select(id_col, F.explode_outer("__bases").alias("__h"))
     )
+    bench_side = F.broadcast(bench_grams) if broadcast else bench_grams
     hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "__h")
+        corpus_grams.join(bench_side, "__h")
         # distinct AFTER the broadcast join: only contamination hits pay
         # the exchange, and each doc counts a shared gram once
         .select(id_col, "__h")

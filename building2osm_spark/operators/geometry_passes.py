@@ -189,11 +189,12 @@ def _grouped_rectify_mapper(batches):
 
 def _rectify_components(grouped_with_comp: DataFrame) -> DataFrame:
     """(…, component) → rectified rows; component-clustered mapInPandas."""
-    n = int(
-        grouped_with_comp.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    # no explicit partition count: RepartitionByExpression without a
+    # user-specified N stays AQE-coalescible — a 200-building municipality
+    # collapses to 1-2 tasks while a 100k run keeps full parallelism
+    # (coalescePartitions.parallelismFirst=true respects defaultParallelism)
     return (
-        grouped_with_comp.repartition(n, "component")
+        grouped_with_comp.repartition("component")
         .sortWithinPartitions("component", "ref")
         .mapInPandas(_grouped_rectify_mapper, schema=_RECTIFY_SCHEMA)
     )
@@ -509,7 +510,6 @@ def rectify_and_simplify(df: DataFrame) -> DataFrame:
     )
     n_edges = shared_sets.count()
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if n_edges == 0:
         shared_sets.unpersist()
         return df.select("ref", "geometry").mapInPandas(
@@ -561,7 +561,8 @@ def rectify_and_simplify(df: DataFrame) -> DataFrame:
     )
     grouped_out = (
         grouped.select("ref", "geometry", "component")
-        .repartition(n, "component")
+        # AQE-coalescible (no explicit N) — see _rectify_components
+        .repartition("component")
         .sortWithinPartitions("component", "ref")
         .mapInPandas(_grouped_fused_mapper, schema=_REMOVE_SCHEMA)
     )

@@ -632,6 +632,21 @@ def test_ngram_profile_duplicate_id_contract(spark):
     assert n[1]["dup_fraction"] == 0.0 and n[1]["n_ngrams"] == 3
 
 
+def test_decontaminate_no_broadcast_escape_hatch(spark, docs):
+    """broadcast=False (huge-benchmark escape hatch): identical values,
+    and the forced broadcast HINT is gone from the logical plan (Catalyst
+    may still auto-broadcast a tiny side — the contract is only that the
+    caller can drop the unconditional hint that would OOM at ~1e8 grams)."""
+    bench = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    corpus = docs.select("doc_id", "text")
+    hinted = D.decontaminate(corpus, bench, ngram=8)
+    plain = D.decontaminate(corpus, bench, ngram=8, broadcast=False)
+    assert "UnresolvedHint" not in plain._jdf.queryExecution().logical().toString()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, hinted.collect())
+    )
+
+
 def test_decontaminate_empty_benchmark(spark):
     """An empty benchmark (or one with only NULL text) must flag nothing
     and still emit one zero row per corpus doc — the broadcast join gets
