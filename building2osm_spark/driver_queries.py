@@ -1746,6 +1746,66 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-boundary graceful degradation (functions/images.py
+    decode_dispatch): every 4th image's container tag is rewritten to an
+    unsupported 'jpeg' before decode — those rows must degrade to per-row
+    (ok=false, error_fmt) records instead of failing the job, while every
+    supported row (raw/bmp/qraw) genuinely decodes to ok=true. The oracle
+    re-derives the contract fully independently (generate_series over the
+    corpus-construction rule), so a dispatch that crashes, skips rows, or
+    misclassifies any format hash-mismatches."""
+    from .functions.images import decode_dispatch
+    from .sources.fixtures import spark_images
+
+    df = spark_images(spark, 400)
+    idx = F.substring("image_id", 5, 12).cast("int")
+    mixed = df.withColumn(
+        "fmt", F.when(idx % 4 == 3, F.lit("jpeg")).otherwise(F.col("fmt"))
+    )
+    out = decode_dispatch(mixed)
+    return out.select(
+        "image_id",
+        "ok",
+        F.when(~F.col("ok"), F.col("fmt")).alias("error_fmt"),
+    )
+
+
+ORACLE_CODEC_DISPATCH = """
+SELECT printf('img_%012d', i) AS image_id,
+       (i % 4 <> 3) AS ok,
+       CASE WHEN i % 4 = 3 THEN 'jpeg' END AS error_fmt
+FROM generate_series(0, 399) AS t(i)
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (functions/images.py frame_sample, the S13
+    video axis): 60 synthetic 'vraw' containers (4-8 frames of 16×16 raw
+    RGB; frame pixels a pure function of (video, frame)) → every-2nd-frame
+    rows. Output is content-addressed (md5 of the sampled frame bytes), so
+    the golden pins the exact byte slices; sampling offsets, fan-out and
+    the real-container stub error are proven in tests/test_images.py."""
+    from .functions.images import frame_sample
+    from .sources.fixtures import _pixels_for, encode_raw
+
+    rows = []
+    for i in range(60):
+        n_frames = 4 + (i % 5)
+        frames = [
+            encode_raw(_pixels_for(f"vid_{i}_{f}", 16, 16))
+            for f in range(n_frames)
+        ]
+        rows.append((f"vid_{i:06d}", b"".join(frames), 16, 16, "vraw"))
+    df = spark.createDataFrame(
+        rows, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = frame_sample(df, every=2)
+    return out.select(
+        "image_id", "frame_idx", F.md5("bytes").alias("frame_md5"), "w", "h"
+    )
+
+
 # ---------------------------------------------------------------------------
 # X4+: compacted cell cover (H3-`compact` analog, partitioning.compact_cover)
 # ---------------------------------------------------------------------------
@@ -2120,6 +2180,8 @@ QUERIES = {
     "raster_overlay": q_raster_overlay,
     "image_phash_buckets": q_image_phash_buckets,
     "audio_features": q_audio_features,
+    "codec_dispatch": q_codec_dispatch,
+    "video_frames": q_video_frames,
     "cover_compact": q_cover_compact,
     "decontaminate": q_decontaminate,
     "repetition_profile": q_repetition_profile,
@@ -2161,6 +2223,7 @@ ORACLES = {
     "corpus_clean": ORACLE_CORPUS_CLEAN,
     "simhash_pairs": ORACLE_SIMHASH,
     "ngram_jaccard_verify": ORACLE_NGRAM,
+    "codec_dispatch": ORACLE_CODEC_DISPATCH,
     # IVF with nprobe = n_centroids probes the full corpus → exact: the
     # same brute-force SQL truth as cosine_topk verifies the IVF machinery
     "ivf_topk": ORACLE_COSINE,
@@ -2200,6 +2263,7 @@ ORACLES.update(
             "raster_overlay",
             "image_phash_buckets",
             "audio_features",
+            "video_frames",
         ]
     }
 )

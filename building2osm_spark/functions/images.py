@@ -160,6 +160,52 @@ def frame_sample(df: DataFrame, every: int = 2) -> DataFrame:
     )
 
 
+DISPATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_dispatch(df: DataFrame) -> DataFrame:
+    """(image_id, fmt, ok, error) — graceful-degradation decode over a
+    mixed-format corpus: each row's payload is dispatched through
+    decode_image; unsupported containers (the NotImplementedError codec
+    boundary, sources/fixtures.py:128) become a per-row (ok=false, error)
+    record instead of failing the job. Supported rows are genuinely
+    decoded (a corrupt payload surfaces as ok=false too), so a green run
+    proves BOTH directions of the contract: every supported format
+    decodes, every unsupported format degrades to a recorded error."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, oks, errs = [], [], [], []
+            for img_id, data, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                try:
+                    decode_image(bytes(data), fmt, int(w), int(h))
+                    ok, err = True, None
+                except NotImplementedError as e:
+                    ok, err = False, str(e)
+                except (ValueError, IndexError) as e:
+                    ok, err = False, f"corrupt payload: {e}"
+                ids.append(img_id)
+                fmts.append(fmt)
+                oks.append(ok)
+                errs.append(err)
+            yield pd.DataFrame(
+                {"image_id": ids, "fmt": fmts, "ok": oks, "error": errs}
+            )
+
+    return df.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        kernel, schema=DISPATCH_SCHEMA
+    )
+
+
 ORACLE_CHECK_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

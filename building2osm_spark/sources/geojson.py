@@ -28,6 +28,7 @@ def write_geojson(
     keep_uppercase: bool = False,
     keep_verify: bool = False,
     keep_sefrak: bool = False,
+    max_rows: int = 5_000_000,
 ) -> int:
     """Write a canonical FeatureCollection; returns the feature count.
 
@@ -41,12 +42,25 @@ def write_geojson(
     keep_sefrak reproduces the reference's -original mode (SEFRAK
     survives the uppercase drop). geom_type_col names a per-row geometry
     type column (mixed Polygon/MultiPolygon tables); geom_type is the
-    constant fallback.
+    constant fallback. max_rows caps the driver-side collect (the output
+    is one JSON document, so the sink is inherently single-process).
     """
     cols = [ref_col, geometry_col] + ([tags_col] if tags_col else [])
     if geom_type_col:
         cols.append(geom_type_col)
-    rows = df.select(*cols).collect()
+    # single-document sink ⇒ driver-side collect by design, but guard it:
+    # a table beyond max_rows would OOM the driver silently — bound the
+    # collect (CollectLimit short-circuits) and fail with an actionable
+    # message instead. No extra job: the +1 row is the overflow sentinel.
+    rows = df.select(*cols).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_geojson collects to the driver for the single-file "
+            f"FeatureCollection: input exceeds max_rows={max_rows}. "
+            f"Split the table (e.g. per municipality, as the reference "
+            f"does), write parquet instead, or pass a larger max_rows= "
+            f"if the driver really has the memory."
+        )
     # nulls FIRST (matching Spark orderBy's default), then ref ascending
     # with a serialized-geometry tiebreak. The null placeholder only
     # compares within the null group (the leading flag separates groups),

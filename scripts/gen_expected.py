@@ -36,6 +36,7 @@ NAMES = [
     "raster_overlay",
     "image_phash_buckets",
     "audio_features",
+    "video_frames",
 ]
 
 

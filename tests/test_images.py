@@ -109,3 +109,30 @@ def test_resize_block_mean(spark):
     want = np.round(pix.reshape(8, bh, 8, bw, 3).mean(axis=(1, 3))).astype(np.uint8)
     got = FX.decode_raw(bytes(r0.bytes), 8, 8)
     assert np.array_equal(got, want)
+
+
+def test_decode_dispatch_graceful(spark):
+    """Graceful degradation at the codec boundary: unsupported containers
+    and corrupt payloads become per-row (ok=false, error) records; every
+    supported row genuinely decodes."""
+    df = FX.spark_images(spark, 40)
+    idx = F.substring("image_id", 5, 12).cast("int")
+    mixed = df.withColumn(
+        "fmt", F.when(idx % 4 == 3, F.lit("png")).otherwise(F.col("fmt"))
+    )
+    rows = {r.image_id: r for r in IM.decode_dispatch(mixed).collect()}
+    assert len(rows) == 40
+    for img_id, r in rows.items():
+        i = int(img_id.split("_")[1])
+        if i % 4 == 3:
+            assert not r.ok and "png" in r.error and "codecs" in r.error
+        else:
+            assert r.ok and r.error is None
+
+    # corrupt payload (truncated raw bytes): recorded, not raised
+    bad = spark.createDataFrame(
+        [("x", b"\x00\x01", "raw", 16, 16)],
+        schema="image_id string, bytes binary, fmt string, w int, h int",
+    )
+    r = IM.decode_dispatch(bad).first()
+    assert not r.ok and r.error.startswith("corrupt payload")

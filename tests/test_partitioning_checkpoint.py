@@ -322,3 +322,21 @@ def test_geojson_reads_point_and_multipolygon_features(spark, tmp_path):
     assert rows["2"]["geom_type"] == "Polygon" and len(rows["2"]["geometry"]) == 1
     assert rows["3"]["geom_type"] == "MultiPolygon"
     assert len(rows["3"]["geometry"]) == 2  # two flattened rings
+
+
+def test_geojson_sink_max_rows_guard(spark, tmp_path):
+    """The single-document sink collects to the driver by design; above
+    max_rows it must fail with an actionable error instead of OOMing."""
+    import pytest
+    from building2osm_spark.sources.geojson import write_geojson
+
+    df = spark.createDataFrame(
+        [(str(i), [[[10.0, 59.0], [10.1, 59.0], [10.1, 59.1], [10.0, 59.0]]], None)
+         for i in range(5)],
+        schema="ref string, geometry array<array<array<double>>>, tags map<string,string>",
+    )
+    path = str(tmp_path / "guard.geojson")
+    with pytest.raises(ValueError, match="max_rows"):
+        write_geojson(df, path, max_rows=3)
+    # at the cap it writes normally
+    assert write_geojson(df, path, max_rows=5) == 5
