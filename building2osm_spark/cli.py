@@ -79,7 +79,35 @@ def cmd_merge(args) -> int:
     from .operators.conflate import conflate, conflate_with_tags
 
     spark = _spark(args)
-    osm = spark.read.parquet(args.osm)
+    if not args.osm and not args.osm_base:
+        raise SystemExit("merge: one of --osm / --osm-base is required")
+    if args.osm_base:
+        # standing-pipeline default (adopted round 5, BASELINE.md decision
+        # note): the reference workload is repeated municipal merges
+        # against a static OSM base (building_merge.py:659-735). Bucketing
+        # the OSM side by osm_id makes the scoring stage's osm-ring
+        # re-join — one of the two dominant shuffles at city scale —
+        # exchange-free on EVERY subsequent merge; the one-time bucketed
+        # write amortizes after the first run. Wall-neutral on local[32]
+        # (a local shuffle is a memcpy) — the saved exchange is a network
+        # transfer on a real cluster.
+        table = f"{args.osm_base}_osm"
+        if not spark.catalog.tableExists(table):
+            if not args.osm:
+                raise SystemExit(
+                    f"merge: bucketed base table {table} not found; pass "
+                    f"--osm alongside --osm-base to build it once"
+                )
+            from .sources.bucketed import write_bucketed
+
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            write_bucketed(
+                spark.read.parquet(args.osm), table,
+                bucket_col="osm_id", n_buckets=n,
+            )
+        osm = spark.table(table)
+    else:
+        osm = spark.read.parquet(args.osm)
     if args.imports.endswith(".geojson"):
         from .functions.udfs import area_merge_udf, centre_udf
         from .sources.geojson import read_geojson
@@ -216,7 +244,14 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_process)
 
     m = sub.add_parser("merge", help="conflate with OSM (building_merge.py)")
-    m.add_argument("--osm", required=True)
+    m.add_argument("--osm", required=False,
+                   help="OSM snapshot parquet (required unless --osm-base "
+                        "names an already-built base)")
+    m.add_argument("--osm-base", metavar="PREFIX",
+                   help="standing-pipeline mode: read the OSM side from the "
+                        "bucketed base table <PREFIX>_osm (built once from "
+                        "--osm if absent); repeated merges against the same "
+                        "base skip the osm-ring exchange")
     m.add_argument("--imports", required=True)
     m.add_argument("--out", required=True)
     m.add_argument("--maxdist", type=float, default=10.0)

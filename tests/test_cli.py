@@ -145,3 +145,33 @@ def test_geojson_suffix_precedence():
     assert _geojson_name(False, True, True) == "buildings_verify.geojson"
     assert _geojson_name(False, False, True) == "buildings_original.geojson"
     assert _geojson_name(False, False, False) == "buildings.geojson"
+
+
+def test_cli_merge_osm_base(spark, tmp_path):
+    """--osm-base: first run builds the bucketed base from --osm, second
+    run reads the base alone (no --osm) and produces identical matches —
+    the standing-pipeline surface for repeated merges vs a static OSM
+    snapshot."""
+    osm_pdf, import_pdf = FX.conflation_pdfs(32)
+    osm_p = str(tmp_path / "osm.parquet")
+    imp_p = str(tmp_path / "imp.parquet")
+    spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA).write.parquet(osm_p)
+    spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA).write.parquet(imp_p)
+    prefix = "clitest_base"
+    out1 = str(tmp_path / "out1")
+    rc = cli.main(["--cores", "4", "merge", "--osm", osm_p, "--osm-base", prefix,
+                   "--imports", imp_p, "--out", out1])
+    assert rc == 0
+    assert spark.catalog.tableExists(f"{prefix}_osm")
+    out2 = str(tmp_path / "out2")
+    rc = cli.main(["--cores", "4", "merge", "--osm-base", prefix,
+                   "--imports", imp_p, "--out", out2])
+    assert rc == 0
+    m1 = sorted(map(tuple, spark.read.parquet(os.path.join(out1, "matches.parquet")).collect()))
+    m2 = sorted(map(tuple, spark.read.parquet(os.path.join(out2, "matches.parquet")).collect()))
+    assert m1 == m2 and len(m1) > 0
+    # neither --osm nor --osm-base is an error
+    import pytest
+    with pytest.raises(SystemExit, match="osm"):
+        cli.main(["merge", "--imports", imp_p, "--out", str(tmp_path / "o3")])
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_osm")
