@@ -4,7 +4,7 @@ entry():      flagship point-in-polygon tile assignment + kNN fallback on
               the sf0.001 tables (customer-derived points → district grid).
 queries():    one entry per implemented operator from SURVEY.md §2 and the
               training-data additions — see building2osm_spark/driver_queries.py.
-oracle_sql(): DuckDB-equivalent SQL for EVERY entry (53/53): independent
+oracle_sql(): DuckDB-equivalent SQL for EVERY entry (55/55): independent
               SQL formulations where expressible (incl. the md5-60bit hash
               family shared bit-exactly by Spark and DuckDB), and committed
               expected-output parquet (parity-proven goldens,
