@@ -91,21 +91,29 @@ def cmd_merge(args) -> int:
         # write amortizes after the first run. Wall-neutral on local[32]
         # (a local shuffle is a memcpy) — the saved exchange is a network
         # transfer on a real cluster.
+        from .sources.bucketed import (
+            bucketed_table_exists,
+            read_bucketed,
+            write_bucketed,
+        )
+
         table = f"{args.osm_base}_osm"
-        if not spark.catalog.tableExists(table):
+        # bucketed_table_exists (not catalog-only): each cli run is its
+        # own JVM with a fresh in-memory catalog — the base persists as
+        # files + _bucket_spec.json in the warehouse and read_bucketed
+        # re-registers it with the identical bucket layout
+        if not bucketed_table_exists(spark, table):
             if not args.osm:
                 raise SystemExit(
                     f"merge: bucketed base table {table} not found; pass "
                     f"--osm alongside --osm-base to build it once"
                 )
-            from .sources.bucketed import write_bucketed
-
             n = int(spark.conf.get("spark.sql.shuffle.partitions"))
             write_bucketed(
                 spark.read.parquet(args.osm), table,
                 bucket_col="osm_id", n_buckets=n,
             )
-        osm = spark.table(table)
+        osm = read_bucketed(spark, table)
     else:
         osm = spark.read.parquet(args.osm)
     if args.imports.endswith(".geojson"):

@@ -16,7 +16,33 @@ tests/test_bucketed.py (zero Exchange on the bucketed join).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+_SPEC_FILE = "_bucket_spec.json"
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    """The managed location <warehouse>/[<db>.db/]<table-lowercased>
+    (identifiers are stored lowercased; the default database lives at the
+    warehouse root)."""
+    parts = [p.lower() for p in table.split(".")]
+    if len(parts) == 1:
+        rel = parts[0]
+    elif len(parts) == 2:
+        rel = parts[1] if parts[0] == "default" else f"{parts[0]}.db/{parts[1]}"
+    else:
+        raise ValueError(f"unsupported table identifier: {table!r}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    # the conf may echo back a file: URI; the callers do Python-side
+    # os.path work, and the SQL LOCATION clause accepts a plain path
+    if warehouse.startswith("file://"):
+        warehouse = warehouse[len("file://"):]
+    elif warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    return f"{warehouse}/{rel}"
 
 
 def write_bucketed(
@@ -40,16 +66,8 @@ def write_bucketed(
         # the orphan for qualified or mixed-case names and saveAsTable
         # would then fail on the non-empty location.
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        parts = [p.lower() for p in table.split(".")]
-        if len(parts) == 1:
-            rel = parts[0]
-        elif len(parts) == 2:
-            rel = parts[1] if parts[0] == "default" else f"{parts[0]}.db/{parts[1]}"
-        else:
-            raise ValueError(f"unsupported table identifier: {table!r}")
         jvm = spark.sparkContext._jvm
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{rel}")
+        path = jvm.org.apache.hadoop.fs.Path(_table_location(spark, table))
         fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if fs.exists(path):
             fs.delete(path, True)
@@ -66,11 +84,65 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(bucket_col)
     writer.saveAsTable(table)
+    # The session catalog is in-memory: a fresh JVM would lose the bucket
+    # metadata even though the files survive in the warehouse — breaking
+    # the standing-pipeline promise (each cli run is its own JVM). Persist
+    # the spec next to the files so read_bucketed can re-register the
+    # table with the same CLUSTERED BY layout (bucket-to-file mapping
+    # lives in the bucket ids embedded in the part file names, so an
+    # external re-registration over the same files is exact).
+    spec = {
+        "bucket_col": bucket_col,
+        "n_buckets": n_buckets,
+        "sort": sort,
+        "schema": json.loads(df.schema.json()),
+    }
+    loc = _table_location(spark, table)
+    with open(os.path.join(loc, _SPEC_FILE), "w", encoding="utf-8") as f:
+        json.dump(spec, f)
+
+
+def bucketed_table_exists(spark: SparkSession, table: str) -> bool:
+    """True if the table is registered in this session's catalog OR its
+    files + bucket spec survive in the warehouse from an earlier JVM
+    (read_bucketed re-registers the latter)."""
+    if spark.catalog.tableExists(table):
+        return True
+    return os.path.exists(os.path.join(_table_location(spark, table), _SPEC_FILE))
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — bucket metadata survives, so joins/aggregations on
-    the bucket column skip their exchange."""
+    the bucket column skip their exchange. If the table is missing from
+    this session's in-memory catalog but its files + _bucket_spec.json
+    survive in the warehouse (written by an earlier JVM), it is
+    re-registered as an external table with the identical bucket layout
+    first."""
+    if not spark.catalog.tableExists(table):
+        loc = _table_location(spark, table)
+        spec_path = os.path.join(loc, _SPEC_FILE)
+        if not os.path.exists(spec_path):
+            raise ValueError(
+                f"bucketed table {table!r} is not in the catalog and no "
+                f"{_SPEC_FILE} found at {loc!r} — write it with "
+                f"write_bucketed first"
+            )
+        with open(spec_path, encoding="utf-8") as f:
+            spec = json.load(f)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(spec["schema"])
+        cols = ", ".join(
+            f"`{fld.name}` {fld.dataType.simpleString()}" for fld in schema.fields
+        )
+        sorted_by = (
+            f"SORTED BY (`{spec['bucket_col']}`) " if spec.get("sort") else ""
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{spec['bucket_col']}`) {sorted_by}"
+            f"INTO {spec['n_buckets']} BUCKETS LOCATION '{loc}'"
+        )
     return spark.table(table)
 
 

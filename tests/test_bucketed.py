@@ -92,3 +92,52 @@ def test_bucketed_conflation_drops_ring_exchanges(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS t_conf_osm")
         spark.sql("DROP TABLE IF EXISTS t_conf_imports")
+
+
+def test_bucketed_recovery_across_catalogs(spark, tmp_path):
+    """The standing-pipeline promise across JVMs: the session catalog is
+    in-memory, so a fresh cli run loses the table metadata while the
+    files + _bucket_spec.json survive in the warehouse. Simulate the
+    fresh-JVM state (preserve the dir, drop the catalog entry), then
+    read_bucketed must re-register the identical bucket layout: same
+    rows AND still exchange-free on the bucket-key join."""
+    import os
+    import shutil
+
+    from building2osm_spark.sources.bucketed import (
+        _table_location,
+        bucketed_table_exists,
+    )
+
+    imgs = spark.createDataFrame(
+        FX.images_pdf(500, with_loc=True)[["image_id", "lon", "lat"]]
+    ).withColumn("cell", cell_id_col(F.col("lon"), F.col("lat"), 14))
+    covers = imgs.select(F.col("cell"), F.col("image_id").alias("ref")).distinct()
+    write_bucketed(imgs, "t_rec", n_buckets=8)
+    write_bucketed(covers, "t_rec_covers", n_buckets=8)
+    want = read_bucketed(spark, "t_rec").count()
+
+    for t in ("t_rec", "t_rec_covers"):
+        loc = _table_location(spark, t)
+        assert os.path.exists(os.path.join(loc, "_bucket_spec.json"))
+        # DROP TABLE on a managed table deletes the files — stash them
+        # aside to reproduce the fresh-catalog / surviving-files state
+        shutil.copytree(loc, loc + ".stash")
+        spark.sql(f"DROP TABLE {t}")
+        assert not spark.catalog.tableExists(t)
+        shutil.move(loc + ".stash", loc)
+        assert bucketed_table_exists(spark, t)
+
+    a = read_bucketed(spark, "t_rec")
+    b = read_bucketed(spark, "t_rec_covers")
+    assert spark.catalog.tableExists("t_rec")
+    assert a.count() == want
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = a.join(b, "cell")._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange", plan)) == 0, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for t in ("t_rec", "t_rec_covers"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
