@@ -19,6 +19,22 @@ import xml.etree.ElementTree as ET
 from pyspark.sql import DataFrame
 
 
+def _bounded_rows(df: DataFrame, kind: str, max_rows: int) -> list:
+    # single-document sink ⇒ driver-side collect by design, but guard it:
+    # beyond max_rows the driver would OOM silently — bound the collect
+    # (CollectLimit short-circuits) and fail with an actionable message.
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_osm_xml collects to the driver for the single-document "
+            f"output: {kind} exceeds max_rows={max_rows}. Filter to one "
+            f"municipality (the reference emits per-municipality files), "
+            f"write parquet instead, or pass a larger max_rows= if the "
+            f"driver really has the memory."
+        )
+    return rows
+
+
 def _set_common_attrs(el: ET.Element, row, keys=("version", "user", "uid", "timestamp", "changeset")):
     for k in keys:
         if k in row.__fields__ and row[k] is not None:
@@ -38,6 +54,7 @@ def write_osm_xml(
     ways: DataFrame | None = None,
     relations: DataFrame | None = None,
     generator: str = "building2osm_spark",
+    max_rows: int = 5_000_000,
 ) -> int:
     """Write an OSM change-style XML document; returns element count.
 
@@ -49,7 +66,7 @@ def write_osm_xml(
     root = ET.Element("osm", version="0.6", generator=generator, upload="false")
     count = 0
 
-    for row in sorted(nodes.collect(), key=lambda r: r["id"]):
+    for row in sorted(_bounded_rows(nodes, "nodes", max_rows), key=lambda r: r["id"]):
         el = ET.SubElement(
             root, "node", id=str(row["id"]), lat=str(row["lat"]), lon=str(row["lon"])
         )
@@ -58,7 +75,7 @@ def write_osm_xml(
         count += 1
 
     if ways is not None:
-        for row in sorted(ways.collect(), key=lambda r: r["id"]):
+        for row in sorted(_bounded_rows(ways, "ways", max_rows), key=lambda r: r["id"]):
             el = ET.SubElement(root, "way", id=str(row["id"]))
             _set_common_attrs(el, row)
             for ref in row["nodes"]:
@@ -67,7 +84,7 @@ def write_osm_xml(
             count += 1
 
     if relations is not None:
-        for row in sorted(relations.collect(), key=lambda r: r["id"]):
+        for row in sorted(_bounded_rows(relations, "relations", max_rows), key=lambda r: r["id"]):
             el = ET.SubElement(root, "relation", id=str(row["id"]))
             _set_common_attrs(el, row)
             for m in row["members"]:

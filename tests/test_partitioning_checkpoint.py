@@ -340,3 +340,21 @@ def test_geojson_sink_max_rows_guard(spark, tmp_path):
         write_geojson(df, path, max_rows=3)
     # at the cap it writes normally
     assert write_geojson(df, path, max_rows=5) == 5
+
+
+def test_osm_xml_sink_max_rows_guard(spark, tmp_path):
+    """Same contract as the geojson sink: the single-document OSM XML
+    writer must refuse a beyond-cap collect with an actionable error."""
+    import pytest
+    from building2osm_spark.sources.osm_xml import write_osm_xml
+
+    nodes = spark.createDataFrame(
+        [(-(i + 1), 59.0 + i * 1e-4, 10.0 + i * 1e-4, {"building": "yes"})
+         for i in range(5)],
+        schema="id bigint, lat double, lon double, tags map<string,string>",
+    )
+    path = str(tmp_path / "guard.osm")
+    with pytest.raises(ValueError, match="max_rows"):
+        write_osm_xml(path, nodes, max_rows=3)
+    # at the cap it writes normally (5 node elements)
+    assert write_osm_xml(path, nodes, max_rows=5) == 5
