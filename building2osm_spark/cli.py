@@ -91,12 +91,23 @@ def cmd_merge(args) -> int:
         # write amortizes after the first run. Wall-neutral on local[32]
         # (a local shuffle is a memcpy) — the saved exchange is a network
         # transfer on a real cluster.
+        import re as _re
+        import sys as _sys
+
         from .sources.bucketed import (
             bucketed_table_exists,
             read_bucketed,
             write_bucketed,
         )
 
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", args.osm_base):
+            # the prefix becomes a SQL table identifier — catch a hyphen
+            # or dot here with a clean message instead of a ParseException
+            # (or a dotted prefix silently splitting into db.table)
+            raise SystemExit(
+                f"merge: --osm-base {args.osm_base!r} must be a plain "
+                f"identifier (letters, digits, underscore; no hyphen/dot)"
+            )
         table = f"{args.osm_base}_osm"
         # bucketed_table_exists (not catalog-only): each cli run is its
         # own JVM with a fresh in-memory catalog — the base persists as
@@ -112,6 +123,17 @@ def cmd_merge(args) -> int:
             write_bucketed(
                 spark.read.parquet(args.osm), table,
                 bucket_col="osm_id", n_buckets=n,
+            )
+        elif args.osm:
+            # loud, not silent: a user refreshing the OSM snapshot would
+            # otherwise merge against stale data with no indication
+            print(
+                f"merge: WARNING — reusing existing bucketed base {table}; "
+                f"--osm {args.osm} is NOT read. To rebuild from the new "
+                f"snapshot, drop the base first "
+                f"(sources.bucketed.drop_bucketed) or use a fresh "
+                f"--osm-base prefix.",
+                file=_sys.stderr,
             )
         osm = read_bucketed(spark, table)
     else:

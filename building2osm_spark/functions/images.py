@@ -191,8 +191,14 @@ def decode_dispatch(df: DataFrame) -> DataFrame:
                     ok, err = True, None
                 except NotImplementedError as e:
                     ok, err = False, str(e)
-                except (ValueError, IndexError) as e:
-                    ok, err = False, f"corrupt payload: {e}"
+                except Exception as e:  # noqa: BLE001
+                    # per-row degradation IS this operator's contract: a
+                    # payload that fails its decoder for ANY reason
+                    # (truncated bmp header → struct.error, wrong bpp →
+                    # AssertionError, null bytes → TypeError, size
+                    # mismatch → ValueError/IndexError) must become an
+                    # (ok=false, error) record, never a job failure.
+                    ok, err = False, f"corrupt payload: {type(e).__name__}: {e}"
                 ids.append(img_id)
                 fmts.append(fmt)
                 oks.append(ok)

@@ -17,32 +17,99 @@ tests/test_bucketed.py (zero Exchange on the bucketed join).
 from __future__ import annotations
 
 import json
-import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 _SPEC_FILE = "_bucket_spec.json"
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _validate_table_name(table: str) -> None:
+    """Table names are interpolated into SQL (DROP/CREATE) and into the
+    warehouse path — restrict them to plain [db.]name identifiers up
+    front so a hyphen or quote fails with a clear message instead of a
+    ParseException (or worse, a dotted name silently splitting into
+    database + table in SQL while the path logic treats it differently)."""
+    parts = table.split(".")
+    if len(parts) > 2 or not all(_IDENT.match(p) for p in parts):
+        raise ValueError(
+            f"invalid bucketed-table name {table!r}: use a plain SQL "
+            f"identifier (letters, digits, underscore; optional db. "
+            f"qualifier)"
+        )
 
 
 def _table_location(spark: SparkSession, table: str) -> str:
     """The managed location <warehouse>/[<db>.db/]<table-lowercased>
     (identifiers are stored lowercased; the default database lives at the
-    warehouse root)."""
+    warehouse root). Unqualified names resolve against the session's
+    CURRENT database — saveAsTable does the same, so the path logic must
+    not assume 'default'."""
+    _validate_table_name(table)
     parts = [p.lower() for p in table.split(".")]
     if len(parts) == 1:
-        rel = parts[0]
-    elif len(parts) == 2:
-        rel = parts[1] if parts[0] == "default" else f"{parts[0]}.db/{parts[1]}"
-    else:
-        raise ValueError(f"unsupported table identifier: {table!r}")
+        parts = [spark.catalog.currentDatabase().lower(), parts[0]]
+    rel = parts[1] if parts[0] == "default" else f"{parts[0]}.db/{parts[1]}"
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    # the conf may echo back a file: URI; the callers do Python-side
-    # os.path work, and the SQL LOCATION clause accepts a plain path
+    # strip a file: scheme for the common local-warehouse case so callers
+    # (and tests) can use plain-path tooling; other schemes (hdfs:, s3a:)
+    # stay intact — every FS touch below goes through the Hadoop FS API,
+    # which accepts both plain local paths and full URIs
     if warehouse.startswith("file://"):
         warehouse = warehouse[len("file://"):]
     elif warehouse.startswith("file:"):
         warehouse = warehouse[len("file:"):]
     return f"{warehouse}/{rel}"
+
+
+def _fs_path(spark: SparkSession, path_str: str):
+    """(fs, path) via the Hadoop FS API — scheme-agnostic: a plain local
+    path, file:, hdfs: or s3a: URI all resolve to the right filesystem,
+    so the spec sidecar works wherever the warehouse lives (the 100-TB
+    standing pipeline is not on a local disk)."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _spec_path(loc: str) -> str:
+    return f"{loc}/{_SPEC_FILE}"
+
+
+def _spec_write(spark: SparkSession, loc: str, spec: dict) -> None:
+    fs, path = _fs_path(spark, _spec_path(loc))
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(json.dumps(spec).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _spec_exists(spark: SparkSession, loc: str) -> bool:
+    fs, path = _fs_path(spark, _spec_path(loc))
+    return bool(fs.exists(path))
+
+
+def _spec_read(spark: SparkSession, loc: str) -> dict | None:
+    fs, path = _fs_path(spark, _spec_path(loc))
+    if not fs.exists(path):
+        return None
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(path)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+    finally:
+        stream.close()
+    return json.loads("\n".join(lines))
 
 
 def write_bucketed(
@@ -57,6 +124,7 @@ def write_bucketed(
     """Persist df as a parquet table bucketed (and sorted) by bucket_col.
     Registered in the session catalog; readable by read_bucketed."""
     spark = df.sparkSession
+    _validate_table_name(table)
     if mode == "overwrite":
         # a managed-table location can survive a crashed writer or a fresh
         # in-memory catalog; drop both the catalog entry and the orphan dir.
@@ -97,9 +165,7 @@ def write_bucketed(
         "sort": sort,
         "schema": json.loads(df.schema.json()),
     }
-    loc = _table_location(spark, table)
-    with open(os.path.join(loc, _SPEC_FILE), "w", encoding="utf-8") as f:
-        json.dump(spec, f)
+    _spec_write(spark, _table_location(spark, table), spec)
 
 
 def bucketed_table_exists(spark: SparkSession, table: str) -> bool:
@@ -108,7 +174,22 @@ def bucketed_table_exists(spark: SparkSession, table: str) -> bool:
     (read_bucketed re-registers the latter)."""
     if spark.catalog.tableExists(table):
         return True
-    return os.path.exists(os.path.join(_table_location(spark, table), _SPEC_FILE))
+    return _spec_exists(spark, _table_location(spark, table))
+
+
+def drop_bucketed(spark: SparkSession, table: str) -> None:
+    """Fully remove a bucketed base: catalog entry AND files + spec.
+
+    Needed because a cross-JVM re-registration (read_bucketed below)
+    creates an EXTERNAL table — `DROP TABLE` on it removes only the
+    catalog entry, the files and _bucket_spec.json survive, and the next
+    bucketed_table_exists() would silently resurrect the "dropped" base.
+    This is the one invalidation path that behaves identically whether
+    the table is currently managed, external, or catalog-absent."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    fs, path = _fs_path(spark, _table_location(spark, table))
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
@@ -116,19 +197,20 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     the bucket column skip their exchange. If the table is missing from
     this session's in-memory catalog but its files + _bucket_spec.json
     survive in the warehouse (written by an earlier JVM), it is
-    re-registered as an external table with the identical bucket layout
-    first."""
+    re-registered as an EXTERNAL table with the identical bucket layout
+    first. NOTE: `DROP TABLE` on a re-registered (external) table keeps
+    the files, so the base would come back on the next run — invalidate
+    a base with drop_bucketed(), which removes catalog entry AND files."""
+    _validate_table_name(table)
     if not spark.catalog.tableExists(table):
         loc = _table_location(spark, table)
-        spec_path = os.path.join(loc, _SPEC_FILE)
-        if not os.path.exists(spec_path):
+        spec = _spec_read(spark, loc)
+        if spec is None:
             raise ValueError(
                 f"bucketed table {table!r} is not in the catalog and no "
                 f"{_SPEC_FILE} found at {loc!r} — write it with "
                 f"write_bucketed first"
             )
-        with open(spec_path, encoding="utf-8") as f:
-            spec = json.load(f)
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(spec["schema"])

@@ -141,3 +141,46 @@ def test_bucketed_recovery_across_catalogs(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     for t in ("t_rec", "t_rec_covers"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_drop_bucketed_kills_resurrection(spark):
+    """A cross-JVM re-registration creates an EXTERNAL table, so plain
+    DROP TABLE keeps the files + spec and the base silently resurrects on
+    the next exists-check. drop_bucketed is the invalidation path that
+    removes catalog entry AND files whatever the table's current state."""
+    import os
+    import shutil
+
+    import pytest
+
+    from building2osm_spark.sources.bucketed import (
+        _table_location,
+        bucketed_table_exists,
+        drop_bucketed,
+    )
+
+    imgs = spark.createDataFrame(
+        FX.images_pdf(100, with_loc=True)[["image_id", "lon", "lat"]]
+    ).withColumn("cell", cell_id_col(F.col("lon"), F.col("lat"), 14))
+    write_bucketed(imgs, "t_drop", n_buckets=4)
+    loc = _table_location(spark, "t_drop")
+    # reproduce the fresh-JVM state, then re-register (external)
+    shutil.copytree(loc, loc + ".stash")
+    spark.sql("DROP TABLE t_drop")
+    shutil.move(loc + ".stash", loc)
+    read_bucketed(spark, "t_drop")
+    # the finding: plain DROP on the external table resurrects
+    spark.sql("DROP TABLE t_drop")
+    assert bucketed_table_exists(spark, "t_drop")  # files+spec survive
+    # the fix: drop_bucketed removes both
+    drop_bucketed(spark, "t_drop")
+    assert not bucketed_table_exists(spark, "t_drop")
+    assert not os.path.exists(loc)
+    # idempotent on an already-gone base
+    drop_bucketed(spark, "t_drop")
+
+    # identifier validation guards every SQL/path interpolation
+    with pytest.raises(ValueError, match="identifier"):
+        write_bucketed(imgs, "oslo-2026_osm", n_buckets=4)
+    with pytest.raises(ValueError, match="identifier"):
+        read_bucketed(spark, "a.b.c")

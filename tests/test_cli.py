@@ -158,20 +158,49 @@ def test_cli_merge_osm_base(spark, tmp_path):
     spark.createDataFrame(osm_pdf, schema=FX.OSM_CONFLATE_SCHEMA).write.parquet(osm_p)
     spark.createDataFrame(import_pdf, schema=FX.IMPORT_CONFLATE_SCHEMA).write.parquet(imp_p)
     prefix = "clitest_base"
-    out1 = str(tmp_path / "out1")
-    rc = cli.main(["--cores", "4", "merge", "--osm", osm_p, "--osm-base", prefix,
-                   "--imports", imp_p, "--out", out1])
-    assert rc == 0
-    assert spark.catalog.tableExists(f"{prefix}_osm")
-    out2 = str(tmp_path / "out2")
-    rc = cli.main(["--cores", "4", "merge", "--osm-base", prefix,
-                   "--imports", imp_p, "--out", out2])
-    assert rc == 0
-    m1 = sorted(map(tuple, spark.read.parquet(os.path.join(out1, "matches.parquet")).collect()))
-    m2 = sorted(map(tuple, spark.read.parquet(os.path.join(out2, "matches.parquet")).collect()))
-    assert m1 == m2 and len(m1) > 0
-    # neither --osm nor --osm-base is an error
-    import pytest
-    with pytest.raises(SystemExit, match="osm"):
-        cli.main(["merge", "--imports", imp_p, "--out", str(tmp_path / "o3")])
-    spark.sql(f"DROP TABLE IF EXISTS {prefix}_osm")
+    from building2osm_spark.sources.bucketed import drop_bucketed
+
+    # a failed earlier run must not leave the base behind (the shared
+    # warehouse persists across JVMs — a leftover base would silently
+    # skip the build path on the next run): clean before AND after
+    drop_bucketed(spark, f"{prefix}_osm")
+    try:
+        out1 = str(tmp_path / "out1")
+        rc = cli.main(["--cores", "4", "merge", "--osm", osm_p, "--osm-base", prefix,
+                       "--imports", imp_p, "--out", out1])
+        assert rc == 0
+        assert spark.catalog.tableExists(f"{prefix}_osm")
+        out2 = str(tmp_path / "out2")
+        rc = cli.main(["--cores", "4", "merge", "--osm-base", prefix,
+                       "--imports", imp_p, "--out", out2])
+        assert rc == 0
+        m1 = sorted(map(tuple, spark.read.parquet(os.path.join(out1, "matches.parquet")).collect()))
+        m2 = sorted(map(tuple, spark.read.parquet(os.path.join(out2, "matches.parquet")).collect()))
+        assert m1 == m2 and len(m1) > 0
+        # passing a fresh --osm while the base exists is NOT silent: the
+        # base wins, but a loud warning names the ignored snapshot
+        import io
+        import sys as _sys
+
+        err = io.StringIO()
+        old = _sys.stderr
+        _sys.stderr = err
+        try:
+            rc = cli.main(["--cores", "4", "merge", "--osm", osm_p,
+                           "--osm-base", prefix, "--imports", imp_p,
+                           "--out", str(tmp_path / "out4")])
+        finally:
+            _sys.stderr = old
+        assert rc == 0
+        assert "NOT read" in err.getvalue() and osm_p in err.getvalue()
+        # neither --osm nor --osm-base is an error
+        import pytest
+        with pytest.raises(SystemExit, match="osm"):
+            cli.main(["merge", "--imports", imp_p, "--out", str(tmp_path / "o3")])
+        # a non-identifier prefix fails with a clean CLI message, not a
+        # SQL ParseException
+        with pytest.raises(SystemExit, match="plain identifier"):
+            cli.main(["merge", "--osm", osm_p, "--osm-base", "oslo-2026",
+                      "--imports", imp_p, "--out", str(tmp_path / "o5")])
+    finally:
+        drop_bucketed(spark, f"{prefix}_osm")

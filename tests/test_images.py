@@ -136,3 +136,24 @@ def test_decode_dispatch_graceful(spark):
     )
     r = IM.decode_dispatch(bad).first()
     assert not r.ok and r.error.startswith("corrupt payload")
+
+    # every decoder failure mode degrades per-row, whatever the exception
+    # type: truncated bmp header (struct.error), wrong-bpp bmp
+    # (AssertionError), null payload (TypeError) — none may fail the job
+    pix = FX._pixels_for("disp", 16, 16)
+    bmp8 = bytearray(FX.encode_bmp(pix))
+    bmp8[28:30] = (8).to_bytes(2, "little")  # bpp 24 → 8
+    hard = spark.createDataFrame(
+        [
+            ("bmp_trunc", b"BM\x01", "bmp", 16, 16),
+            ("bmp_bpp8", bytes(bmp8), "bmp", 16, 16),
+            ("null_bytes", None, "raw", 16, 16),
+            ("fine", FX.encode_raw(pix), "raw", 16, 16),
+        ],
+        schema="image_id string, bytes binary, fmt string, w int, h int",
+    )
+    got = {r.image_id: r for r in IM.decode_dispatch(hard).collect()}
+    assert got["fine"].ok and got["fine"].error is None
+    for bad_id in ("bmp_trunc", "bmp_bpp8", "null_bytes"):
+        assert not got[bad_id].ok, bad_id
+        assert got[bad_id].error.startswith("corrupt payload"), bad_id
