@@ -140,7 +140,11 @@ def test_bucketed_recovery_across_catalogs(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     for t in ("t_rec", "t_rec_covers"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the re-registered tables are EXTERNAL — plain DROP would leave
+        # files+spec in the shared warehouse (see drop_bucketed below)
+        from building2osm_spark.sources.bucketed import drop_bucketed
+
+        drop_bucketed(spark, t)
 
 
 def test_drop_bucketed_kills_resurrection(spark):
