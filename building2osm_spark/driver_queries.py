@@ -37,9 +37,13 @@ from .functions.columns import (
 from .functions.text import (
     _STOPWORDS,
     doc_fingerprint,
+    extract_urls,
     language_id,
+    pii_counts,
     quality_score,
+    scrub_pii,
     token_count_ws,
+    url_domain,
 )
 from .operators.cover_join import assign_points_to_polygons
 from .operators.knn import knn_join
@@ -680,6 +684,136 @@ best AS (
 )
 SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n FROM best GROUP BY 1, 2
 """
+
+
+def _pii_enriched(docs: DataFrame) -> DataFrame:
+    """Deterministic PII/URL enrichment of the documents fixture — the
+    synthetic corpus contains no emails/IPs/phones/URLs (verified: zero
+    '@' or 'http' hits), so both engines append the SAME doc_id-derived
+    spans (the bbox_modes each-engine-computes-its-own-inputs precedent;
+    integer `%`/CAST arithmetic is exact and identical in both)."""
+    did = F.col("doc_id")
+
+    def s(c) -> Column:
+        return c.cast("string")
+
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact u"), s(did), F.lit("@ex"), s(did % 5), F.lit(".org")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 1,
+                F.concat(F.lit(" host 10."), s(did % 256), F.lit(".0."), s((did * 7) % 256)),
+            ).otherwise(F.lit("")),
+            F.when(did % 5 == 2, F.lit(" call +47 22 12 34 56")).otherwise(F.lit("")),
+            F.when(
+                did % 2 == 0,
+                F.concat(F.lit(" see https://site"), s(did % 11), F.lit(".example.com/p/"), s(did)),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 3,
+                F.concat(F.lit(" and http://m"), s(did % 3), F.lit(".example.net")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_PII_ENRICH_SQL = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+       || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.org' ELSE '' END
+  || CASE WHEN doc_id % 4 = 1 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 5 = 2 THEN ' call +47 22 12 34 56' ELSE '' END
+  || CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 11 AS VARCHAR)
+       || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 7 = 3 THEN ' and http://m' || CAST(doc_id % 3 AS VARCHAR)
+       || '.example.net' ELSE '' END
+  AS text
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (training-pipeline text axis): per-doc
+    email/IPv4/phone match counts on the raw text plus the scrubbed text
+    with typed placeholders. Map-only regexp chain — codegen-resident,
+    zero shuffles, the 10^12-doc shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_emails, n_ips, n_phones = pii_counts(F.col("text"))
+    return _pii_enriched(docs).select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        scrub_pii(F.col("text")).alias("scrubbed"),
+    )
+
+
+# patterns single-sourced from functions.text (spliced verbatim — the
+# Java-regex ∩ RE2 common subset makes the same strings valid in DuckDB;
+# .replace() splicing because f-strings would eat the {2,} quantifier)
+from .functions.text import PII_EMAIL, PII_IPV4, PII_PHONE, URL_PATTERN  # noqa: E402
+
+ORACLE_PII = (
+    """
+WITH enriched AS (@ENRICH@)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '@EMAIL@')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '@IP@')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '@PHONE@')) AS INT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '@EMAIL@', '<EMAIL>', 'g'), '@IP@', '<IP>', 'g'), '@PHONE@', '<PHONE>', 'g')
+    AS scrubbed
+FROM enriched
+"""
+    .replace("@ENRICH@", _PII_ENRICH_SQL)
+    .replace("@EMAIL@", PII_EMAIL)
+    .replace("@IP@", PII_IPV4)
+    .replace("@PHONE@", PII_PHONE)
+)
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain corpus stats (the domain-filtering
+    primitive of web-scale corpus curation). explode_outer (NOT explode:
+    a non-outer explode of a generated array re-inlines the generating
+    regexp into an implicit size>0 filter — NOTES fact 23) then one
+    narrow groupBy on the ~|domains| keyspace."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = _pii_enriched(docs).select(
+        "doc_id", F.explode_outer(extract_urls(F.col("text"))).alias("url")
+    )
+    return (
+        urls.filter(F.col("url").isNotNull())
+        .select("doc_id", url_domain(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_urls"),
+        )
+    )
+
+
+ORACLE_URL_DOMAINS = (
+    """
+WITH enriched AS (@ENRICH@),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '@URL@')) AS url FROM enriched
+)
+SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_urls
+FROM urls GROUP BY 1
+"""
+    .replace("@ENRICH@", _PII_ENRICH_SQL)
+    .replace("@URL@", URL_PATTERN)
+)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2152,6 +2286,8 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
+    "pii_scrub": q_pii_scrub,
+    "url_domains": q_url_domains,
     "cosine_topk": q_cosine_topk,
     "progress_metrics": q_progress_metrics,
     # rows-only (non-SQL-expressible engine operators)
@@ -2211,6 +2347,8 @@ ORACLES = {
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "token_stats": ORACLE_TOKEN,
     "lang_id": ORACLE_LANG,
+    "pii_scrub": ORACLE_PII,
+    "url_domains": ORACLE_URL_DOMAINS,
     "cosine_topk": ORACLE_COSINE,
     "progress_metrics": ORACLE_PROGRESS,
     "cover_compact": ORACLE_COVER_COMPACT,

@@ -86,6 +86,50 @@ def quality_score(text: Column) -> Column:
     return F.round(len_term * word_term * punct_term, 6)
 
 
+# PII / URL patterns — written in the Java-regex ∩ RE2 common subset
+# (no lookaround, no backrefs) so the DuckDB oracles can run the SAME
+# pattern strings verbatim. Scrub order is part of the contract:
+# email → ipv4 → phone (an email eats its own digits before the ipv4
+# pass can see them; the placeholders contain no digits or '@').
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{2} \d{2} \d{2} \d{2} \d{2}"
+URL_PATTERN = r"https?://[A-Za-z0-9./_-]+"
+_DOMAIN_GROUP = r"https?://([^/]+)"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) — non-overlapping match counts on the
+    RAW text (count before scrubbing; scrub_pii applies the same
+    patterns in sequence)."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL)),
+        F.regexp_count(text, F.lit(PII_IPV4)),
+        F.regexp_count(text, F.lit(PII_PHONE)),
+    )
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails/IPv4s/phone numbers with typed placeholders, in the
+    documented email → ipv4 → phone order. Pure regexp_replace chain —
+    map-only, codegen-resident, no Python."""
+    scrubbed = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4, "<IP>")
+    return F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in the text (greedy host+path runs, stops at
+    whitespace or any char outside [A-Za-z0-9./_-])."""
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)
+
+
+def url_domain(url: Column) -> Column:
+    """Host part of a URL ('' when the pattern does not match — Spark and
+    DuckDB agree on empty-string for no-match regexp_extract)."""
+    return F.regexp_extract(url, _DOMAIN_GROUP, 1)
+
+
 _FP_MOD = (1 << 31) - 1  # Mersenne-31: products stay < 2^62 (ANSI-safe)
 
 

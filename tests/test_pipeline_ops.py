@@ -384,6 +384,65 @@ def test_text_functions(spark, docs):
     assert "Python" not in plan  # all native
 
 
+def test_pii_scrub_and_urls(spark):
+    """PII scrub/count + URL extraction: literal edge rows, expected
+    values computed independently with Python re (same regex subset),
+    scrub ORDER pinned (email eats its digits before the ipv4 pass),
+    all-native plan."""
+    import re
+
+    from building2osm_spark.functions import text as TX
+
+    rows = [
+        (0, "mail a1.2.3.4@x.io and ip 1.2.3.4"),          # email-before-ip order
+        (1, "two a@b.org c.d+e@f.co.uk emails"),            # multiple, +/. locals
+        (2, "call +47 22 12 34 56 or +33 11 22 33 44 now"),
+        (3, "bare 10.0.0.1 10.0.0.2, text."),                # adjacent IPs, comma edge
+        (4, ""),                                              # empty
+        (5, None),                                            # null text
+        (6, "see https://a.example.com/p/1 http://b.net end"),
+        (7, "no pii at all"),
+        (8, "v1.2.3 is not an ip, u@x is not an email"),      # 3-part version, no TLD
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        TX.pii_counts(F.col("text"))[0].alias("n_emails"),
+        TX.pii_counts(F.col("text"))[1].alias("n_ips"),
+        TX.pii_counts(F.col("text"))[2].alias("n_phones"),
+        TX.scrub_pii(F.col("text")).alias("scrubbed"),
+        TX.extract_urls(F.col("text")).alias("urls"),
+    )
+    got = {r.doc_id: r for r in out.collect()}
+
+    for doc_id, text in rows:
+        r = got[doc_id]
+        if text is None:
+            assert r.n_emails is None and r.scrubbed is None and r.urls is None
+            continue
+        assert r.n_emails == len(re.findall(TX.PII_EMAIL, text)), doc_id
+        want_scrub = re.sub(
+            TX.PII_PHONE, "<PHONE>",
+            re.sub(TX.PII_IPV4, "<IP>", re.sub(TX.PII_EMAIL, "<EMAIL>", text)),
+        )
+        assert r.scrubbed == want_scrub, (doc_id, r.scrubbed, want_scrub)
+        assert list(r.urls) == re.findall(TX.URL_PATTERN, text), doc_id
+
+    # the order contract: the email's digits never surface as an IP …
+    assert got[0].n_ips == 1 and got[0].scrubbed.count("<IP>") == 1
+    assert "<EMAIL>" in got[0].scrubbed
+    # … and a dotted version string / TLD-less local is NOT PII
+    assert got[8].n_emails == 0 and got[8].n_ips == 0
+
+    domains = df.filter(F.col("doc_id") == 6).select(
+        F.explode(TX.extract_urls(F.col("text"))).alias("url")
+    ).select(TX.url_domain(F.col("url")).alias("d")).collect()
+    assert sorted(x.d for x in domains) == ["a.example.com", "b.net"]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # all native
+
+
 def test_ivf_4096_centroids_broadcast_kernel(spark):
     """VERDICT #10: IVF beyond the literal-centroid limit — 4096 centroids
     route through the broadcast numpy kernel; on a clustered corpus the
