@@ -816,6 +816,41 @@ FROM urls GROUP BY 1
 )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% subsample (map-only, partitioning-independent)
+    composed with a per-language quota cap of 40 (rank-by-hash within
+    stratum) — the reproducible-subsampling primitive of corpus
+    curation. Distinct salts decorrelate the two draws."""
+    from .operators.sampling import deterministic_sample, stratified_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sampled = deterministic_sample(docs, "doc_id", 0.25, salt="r5")
+    capped = stratified_cap(sampled, "lang", cap=40, key="doc_id", salt="cap")
+    return capped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+ORACLE_STRATIFIED = """
+WITH hashed AS (
+  SELECT doc_id, lang,
+    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 15) AS UBIGINT)
+      % 1000000 AS h,
+    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 15) AS UBIGINT)
+      AS h2
+  FROM documents
+),
+sampled AS (SELECT * FROM hashed WHERE h < 250000),
+capped AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY h2, doc_id) AS rn
+  FROM sampled
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM capped WHERE rn <= 40 GROUP BY lang
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 20).select(
@@ -2288,6 +2323,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "pii_scrub": q_pii_scrub,
     "url_domains": q_url_domains,
+    "stratified_sample": q_stratified_sample,
     "cosine_topk": q_cosine_topk,
     "progress_metrics": q_progress_metrics,
     # rows-only (non-SQL-expressible engine operators)
@@ -2349,6 +2385,7 @@ ORACLES = {
     "lang_id": ORACLE_LANG,
     "pii_scrub": ORACLE_PII,
     "url_domains": ORACLE_URL_DOMAINS,
+    "stratified_sample": ORACLE_STRATIFIED,
     "cosine_topk": ORACLE_COSINE,
     "progress_metrics": ORACLE_PROGRESS,
     "cover_compact": ORACLE_COVER_COMPACT,

@@ -1,0 +1,80 @@
+"""Deterministic, content-addressed sampling for training-data pipelines.
+
+Reproducible subsampling is a first-class corpus-curation primitive: the
+SAME rows must be selected in any session, under any partitioning, at any
+cluster size, and on re-runs after failure — which rules out
+``DataFrame.sample`` (seeded per-partition: a repartition changes the
+selection). Both operators here key acceptance off the md5-60bit content
+hash (``operators.dedupe._base60``), which is bit-identical in DuckDB
+(``CAST('0x'||substring(md5(x),1,15) AS UBIGINT)``), so both have exact
+cross-engine SQL oracles.
+
+Scale shapes (the 10^12-row contract):
+- ``deterministic_sample`` is MAP-ONLY — one codegen-resident filter, no
+  shuffle, trivially resumable (acceptance is a pure row function).
+- ``stratified_cap`` shuffles once on the strata key and sorts within
+  strata (rank-by-hash is a global per-stratum order). A pathologically
+  hot stratum serializes on its reducer's sort — the documented
+  composition for that case is ``deterministic_sample`` first (map-only
+  pre-thin to ~cap/fraction rows per stratum) and cap after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedupe import _base60
+
+#: acceptance-space modulus — fraction resolution 1e-6
+SAMPLE_MOD = 1_000_000
+
+
+def _accept_hash(key: Column, salt: str) -> Column:
+    """md5-60bit of (key-as-string || salt) — the cross-engine
+    deterministic acceptance hash. The salt decorrelates independent
+    sampling decisions over the same key (sample-then-cap must not
+    reuse one hash, or the cap's rank order would be conditioned on
+    the acceptance threshold)."""
+    return _base60(F.concat(key.cast("string"), F.lit(salt)))
+
+
+def deterministic_sample(
+    df: DataFrame, key: str | Column, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff hash(key||salt) mod 1e6 < fraction·1e6.
+
+    Partitioning-independent, retry-safe, and stable across sessions —
+    the selection is a pure function of the key. Map-only (no shuffle,
+    no Python)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    threshold = int(round(fraction * SAMPLE_MOD))
+    return df.filter(_accept_hash(key_col, salt) % SAMPLE_MOD < threshold)
+
+
+def stratified_cap(
+    df: DataFrame,
+    strata: str | list[str],
+    cap: int,
+    key: str | Column,
+    salt: str = "",
+) -> DataFrame:
+    """At most ``cap`` rows per stratum, chosen by ascending acceptance
+    hash (a deterministic uniform draw within each stratum; ties — only
+    possible on duplicate keys — break on the key itself).
+
+    One shuffle on the strata columns; see the module docstring for the
+    hot-stratum composition."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    strata_cols = [strata] if isinstance(strata, str) else list(strata)
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = _accept_hash(key_col, salt)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), key_col.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -443,6 +443,61 @@ def test_pii_scrub_and_urls(spark):
     assert "Python" not in plan  # all native
 
 
+def test_deterministic_sampling(spark, docs):
+    """Content-addressed sampling: partitioning-independent selection,
+    map-only fraction plan, exact per-stratum caps, salt decorrelation."""
+    from building2osm_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_cap,
+    )
+
+    s1 = deterministic_sample(docs.repartition(13), "doc_id", 0.3, salt="t")
+    s2 = deterministic_sample(docs.repartition(3), "doc_id", 0.3, salt="t")
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2 and ids1  # same rows under any partitioning
+    n = docs.count()
+    assert 0.15 * n < len(ids1) < 0.45 * n  # ~fraction, not degenerate
+
+    # different salt → a different (decorrelated) draw
+    ids3 = {
+        r.doc_id
+        for r in deterministic_sample(docs, "doc_id", 0.3, salt="u")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids3 != ids1
+
+    # fraction form is map-only native (no exchange, no Python)
+    plan = (
+        deterministic_sample(docs, "doc_id", 0.3, salt="t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+    capped = stratified_cap(docs, "lang", cap=7, key="doc_id", salt="c")
+    per = {r.lang: r.n for r in capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, cnt in per.items():
+        assert cnt == min(7, full[lang]), (lang, cnt)
+    # deterministic selection: same rows on a re-run over shuffled input
+    a = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_cap(docs.repartition(11), "lang", cap=7, key="doc_id", salt="c")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        deterministic_sample(docs, "doc_id", 1.5)
+    with _pytest.raises(ValueError):
+        stratified_cap(docs, "lang", cap=0, key="doc_id")
+
+
 def test_ivf_4096_centroids_broadcast_kernel(spark):
     """VERDICT #10: IVF beyond the literal-centroid limit — 4096 centroids
     route through the broadcast numpy kernel; on a clustered corpus the
