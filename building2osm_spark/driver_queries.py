@@ -969,6 +969,62 @@ FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization end-to-end: MinHash LSH pairs →
+    connected components over the pair graph → keep the longest member
+    per cluster (ties → lowest id). On the planted tailword corpus every
+    cluster's survivor is the LONGER planted copy — the output
+    discriminates component labels, sizes, and the rank rule at once."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dup)
+    sigs = DD.minhash_signatures(corpus)
+    pairs = DD.minhash_lsh_pairs(sigs, bands=16, threshold=0.5).select("id_a", "id_b")
+    kept = DD.dedup_keep_best(
+        corpus.withColumn("n", F.length("text")), pairs, rank_col="n"
+    )
+    return kept.select("doc_id", "cluster", "cluster_size")
+
+
+# WITH RECURSIVE: the reach closure is exact for any cluster diameter
+# (DuckDB's recursive-CTE UNION dedups rows, so it terminates on the
+# finite node×node domain); cluster id = min reachable id, mirroring
+# dedupe.pair_components
+ORACLE_DEDUP_KEEP_BEST = _dedup_shingle_ctes(" tailword").replace(
+    "\nWITH ", "\nWITH RECURSIVE ", 1
+) + """,
+good_pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM good_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM good_pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT rc.node, e.dst FROM reach rc JOIN edges e ON e.src = rc.r
+),
+comp AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node),
+all_docs AS (SELECT doc_id, length(text) AS n FROM unioned),
+clustered AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster, d.n
+  FROM all_docs d LEFT JOIN comp c ON c.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY n DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS cluster_size
+  FROM clustered
+)
+SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_ngram_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document n-gram duplication triage (the exact-substring
     dedup signal): per doc, the fraction of distinct 8-gram hashes that
@@ -2324,6 +2380,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "url_domains": q_url_domains,
     "stratified_sample": q_stratified_sample,
+    "dedup_keep_best": q_dedup_keep_best,
     "cosine_topk": q_cosine_topk,
     "progress_metrics": q_progress_metrics,
     # rows-only (non-SQL-expressible engine operators)
@@ -2386,6 +2443,7 @@ ORACLES = {
     "pii_scrub": ORACLE_PII,
     "url_domains": ORACLE_URL_DOMAINS,
     "stratified_sample": ORACLE_STRATIFIED,
+    "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "cosine_topk": ORACLE_COSINE,
     "progress_metrics": ORACLE_PROGRESS,
     "cover_compact": ORACLE_COVER_COMPACT,

@@ -443,6 +443,49 @@ def test_pii_scrub_and_urls(spark):
     assert "Python" not in plan  # all native
 
 
+def test_pair_components_and_keep_best(spark, monkeypatch):
+    """Generic pair-graph clustering + keep-best canonicalization:
+    driver union-find ≡ distributed min-label propagation (chain graph,
+    diameter 4), singleton passthrough, rank + tie rules."""
+    from building2osm_spark.operators import dedupe as DDm
+
+    # chain 1-2-3-4-5 plus pair (10,11); 20 is unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        schema="id_a long, id_b long",
+    )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    got_driver = {
+        r.node: r.cluster for r in DDm.pair_components(pairs).collect()
+    }
+    assert got_driver == expected
+
+    monkeypatch.setattr(DDm, "_CLUSTER_DRIVER_MAX", 0)
+    got_dist = {r.node: r.cluster for r in DDm.pair_components(pairs).collect()}
+    assert got_dist == expected
+    # non-convergence raises rather than splitting (diameter 4 > 2*1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DDm.pair_components(pairs, max_iter=1)
+    monkeypatch.undo()
+
+    docs = spark.createDataFrame(
+        [(1, 5, "a"), (2, 9, "b"), (3, 9, "c"), (4, 2, "d"), (5, 1, "e"),
+         (10, 7, "f"), (11, 7, "g"), (20, 3, "h")],
+        schema="doc_id long, score long, payload string",
+    )
+    kept = DDm.dedup_keep_best(docs, pairs, rank_col="score").collect()
+    by_cluster = {r.cluster: r for r in kept}
+    assert set(by_cluster) == {1, 10, 20}
+    # cluster 1: max score 9 tied between docs 2 and 3 → lowest id wins
+    assert by_cluster[1].doc_id == 2 and by_cluster[1].cluster_size == 5
+    # cluster 10: tie at score 7 → doc 10
+    assert by_cluster[10].doc_id == 10 and by_cluster[10].cluster_size == 2
+    # singleton passthrough keeps payload columns
+    assert by_cluster[20].doc_id == 20 and by_cluster[20].cluster_size == 1
+    assert by_cluster[20].payload == "h"
+
+
 def test_deterministic_sampling(spark, docs):
     """Content-addressed sampling: partitioning-independent selection,
     map-only fraction plan, exact per-stratum caps, salt decorrelation."""
