@@ -1025,6 +1025,81 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _para_enriched(docs: DataFrame) -> DataFrame:
+    """Deterministic paragraph enrichment for paragraph_dedup — wraps each
+    doc's text with a shared header (37 variants) + footer (7 variants)
+    so cross-doc duplicate paragraphs exist at every SF, plus an empty
+    paragraph for doc_id%11==5 (exercises the empty-drop contract). Both
+    engines compute the SAME text from doc_id arithmetic (pii_scrub
+    precedent)."""
+    did = F.col("doc_id")
+    sep = F.lit("\n\n")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.lit("hdr "),
+            (did % 37).cast("string"),
+            sep,
+            F.col("text"),
+            sep,
+            F.when(did % 11 == 5, sep).otherwise(F.lit("")),
+            F.lit("footer "),
+            (did % 7).cast("string"),
+        ).alias("text"),
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (RefinedWeb-style): keep
+    the globally-first occurrence of every distinct paragraph, reassemble
+    docs in order. Winner selection is a partial-agg min(struct) — the
+    skew-safe form for boilerplate paragraphs repeated across millions of
+    docs (see operators/dedupe.paragraph_dedup)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.paragraph_dedup(_para_enriched(docs))
+
+
+ORACLE_PARAGRAPH_DEDUP = """
+WITH enriched AS (
+  SELECT doc_id,
+    'hdr ' || CAST(doc_id % 37 AS VARCHAR) || chr(10) || chr(10)
+      || text || chr(10) || chr(10)
+      || CASE WHEN doc_id % 11 = 5 THEN chr(10) || chr(10) ELSE '' END
+      || 'footer ' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents WHERE text IS NOT NULL
+),
+parts AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM enriched
+),
+paras AS (
+  SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) AS pos
+  FROM parts
+),
+ne AS (
+  SELECT doc_id, pos, para, md5(para) AS digest FROM paras WHERE para <> ''
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn
+  FROM ne
+),
+kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1),
+counts AS (SELECT doc_id, count(*) AS n_paras FROM ne GROUP BY doc_id),
+re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT e.doc_id,
+  CAST(coalesce(c.n_paras, 0) AS BIGINT) AS n_paras,
+  CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(re.text_clean, '') AS text_clean
+FROM enriched e
+LEFT JOIN counts c USING (doc_id)
+LEFT JOIN re USING (doc_id)
+"""
+
+
 def q_ngram_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document n-gram duplication triage (the exact-substring
     dedup signal): per doc, the fraction of distinct 8-gram hashes that
@@ -2381,6 +2456,7 @@ QUERIES = {
     "url_domains": q_url_domains,
     "stratified_sample": q_stratified_sample,
     "dedup_keep_best": q_dedup_keep_best,
+    "paragraph_dedup": q_paragraph_dedup,
     "cosine_topk": q_cosine_topk,
     "progress_metrics": q_progress_metrics,
     # rows-only (non-SQL-expressible engine operators)
@@ -2444,6 +2520,7 @@ ORACLES = {
     "url_domains": ORACLE_URL_DOMAINS,
     "stratified_sample": ORACLE_STRATIFIED,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "cosine_topk": ORACLE_COSINE,
     "progress_metrics": ORACLE_PROGRESS,
     "cover_compact": ORACLE_COVER_COMPACT,

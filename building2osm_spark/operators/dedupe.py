@@ -1142,3 +1142,72 @@ def dedup_keep_best(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (RefinedWeb / CCNet style):
+    split each doc on `sep`, keep only the globally-FIRST occurrence of
+    every distinct non-empty paragraph (first = lowest (id, position)),
+    and reassemble each doc from its kept paragraphs in original order.
+
+    Every doc survives — one that loses all paragraphs comes back with
+    empty text. Consecutive separators collapse on reassembly (empty
+    paragraphs are dropped before dedup); that normalization is the
+    documented contract, shared with the oracle.
+
+    Scale shape: the winner per paragraph digest is a groupBy
+    min(struct(id, pos)) — partial aggregation absorbs boilerplate
+    paragraphs that repeat across millions of docs (a window over the
+    digest would sort the full hot partition in one task and cannot be
+    skew-split); the keep decision is then a digest-keyed join that AQE
+    can skew-split. Two shuffles of (digest, id, pos) slim rows plus the
+    per-doc reassembly groupBy — no full-text shuffle: paragraphs
+    travel once into the reassembly, ids+digests elsewhere.
+    """
+    sep_lit = F.lit(sep)
+    paras = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+        )
+        .filter(F.col("__para") != "")
+        .withColumn("__digest", F.md5(F.col("__para")))
+    )
+    winners = paras.groupBy("__digest").agg(
+        F.min(F.struct("__id", "__pos")).alias("__first")
+    )
+    kept = (
+        paras.join(winners, "__digest")
+        .filter(
+            (F.col("__id") == F.col("__first.__id"))
+            & (F.col("__pos") == F.col("__first.__pos"))
+        )
+        .select("__id", "__pos", "__para")
+    )
+    reassembled = kept.groupBy("__id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    n_paras = paras.groupBy("__id").agg(F.count("*").cast("long").alias("n_paras"))
+    base = df.select(F.col(id_col).alias("__id"))
+    return (
+        base.join(n_paras, "__id", "left")
+        .join(reassembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

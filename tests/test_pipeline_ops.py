@@ -831,3 +831,25 @@ def test_intra_doc_repetition_null_text_dropped(spark):
         ngram=3,
     ).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_paragraph_dedup(spark):
+    """Paragraph-level exact dedup: global first occurrence wins by
+    (id, pos), empty paragraphs drop, doc losing everything survives
+    with empty text, reassembly preserves in-doc order."""
+    rows = [
+        (1, "alpha\n\nshared\n\nbeta"),
+        (2, "shared\n\ngamma\n\n\n\nalpha"),  # shared+alpha dup; empty para
+        (3, "shared"),  # loses its only paragraph
+        (4, "delta\n\ndelta\n\nepsilon"),  # intra-doc dup: first pos wins
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(df).collect()}
+    assert out[1]["text_clean"] == "alpha\n\nshared\n\nbeta"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text_clean"] == "gamma"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (3, 1)
+    assert out[3]["text_clean"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_paras"] == 1
+    assert out[4]["text_clean"] == "delta\n\nepsilon"
+    assert (out[4]["n_paras"], out[4]["n_kept"]) == (3, 2)
