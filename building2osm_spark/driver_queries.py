@@ -1853,6 +1853,78 @@ WHERE id_a < id_b AND list_cosine_similarity(va, vb) >= 0.99
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: nearest-seed cosine bucketing
+    (seeds = the 8 lowest-id vectors; measured assignment margin ≥4.7e-5
+    on this fixture — 10^10 ulps above cross-engine float noise), exact
+    within-bucket pairs at 0.99 (only the planted copies qualify, the
+    embedding_near_dup precedent), connected dup groups, lowest-id
+    survivor."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = SIM.semantic_dedup(
+        emb.select("vec_id", "embedding").unionByName(dup), threshold=0.99
+    )
+    return out.select(
+        "vec_id", F.col("sem_cluster").cast("int").alias("sem_cluster"), "dup_size"
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH RECURSIVE unioned AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 20
+),
+seeds AS (SELECT vec_id AS sid, v AS sv FROM unioned WHERE vec_id < 8),
+scored AS (
+  SELECT u.vec_id, s.sid, list_cosine_similarity(u.v, s.sv) AS cs
+  FROM unioned u, seeds s
+),
+assign AS (
+  SELECT vec_id, sid AS sem_cluster FROM (
+    SELECT vec_id, sid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+au AS (SELECT a.vec_id, a.sem_cluster, u.v FROM assign a JOIN unioned u USING (vec_id)),
+good_pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM au x JOIN au y
+    ON x.sem_cluster = y.sem_cluster AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.v, y.v) >= 0.99
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM good_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM good_pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT rc.node, e.dst FROM reach rc JOIN edges e ON e.src = rc.r
+),
+comp AS (SELECT node, least(node, min(r)) AS grp FROM reach GROUP BY node),
+clustered AS (
+  SELECT a.vec_id, a.sem_cluster, coalesce(c.grp, a.vec_id) AS grp
+  FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
+),
+sel AS (
+  SELECT vec_id, sem_cluster, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY vec_id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS dup_size
+  FROM clustered
+)
+SELECT vec_id, CAST(sem_cluster AS INT) AS sem_cluster,
+       CAST(dup_size AS BIGINT) AS dup_size
+FROM sel WHERE rn = 1
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe = n_centroids: probing every list makes the
     result EXACT (the probed union is the full corpus), so the whole IVF
@@ -2476,6 +2548,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_verify": q_ngram_jaccard_verify,
     "embedding_near_dup": q_embedding_near_dup,
+    "semantic_dedup": q_semantic_dedup,
     "ivf_topk": q_ivf_topk,
     "quality_fingerprint": q_quality_fingerprint,
     "rectify_simplify": q_rectify_simplify,
@@ -2525,6 +2598,7 @@ ORACLES = {
     "progress_metrics": ORACLE_PROGRESS,
     "cover_compact": ORACLE_COVER_COMPACT,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "minhash_near_dups": ORACLE_MINHASH,
     "ngram_dup_profile": ORACLE_NGRAM_DUP,
     "ngram_dup_winnowed": ORACLE_NGRAM_WINNOWED,

@@ -237,3 +237,82 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_seeds: int = 8,
+    threshold: float = 0.99,
+    seeds: np.ndarray | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket
+    every embedding by its nearest seed/centroid (cosine), find
+    within-bucket pairs with cosine >= threshold, connect them into dup
+    groups, keep ONE survivor per group (lowest id).
+
+    `seeds` is a (k, dim) matrix; when None, the k lowest-id vectors are
+    collected as seeds (deterministic, reproducible). Assignment reuses
+    the IVF scorer: map-only literal expressions for small k, one BLAS
+    matmul per Arrow batch above _LITERAL_CENTROID_MAX — either way the
+    corpus never shuffles for assignment. The pair search is an exact
+    self-join keyed on the bucket (AQE can skew-split a hot bucket); for
+    planet-scale buckets compose with embedding_near_dup INSIDE each
+    bucket instead of the exact join.
+
+    Returns the survivors: (id_col, sem_cluster, dup_size) where
+    sem_cluster is the seed index and dup_size the size of the dup group
+    the survivor represents (1 = no near-duplicate found).
+    """
+    from .dedupe import pair_components
+
+    if seeds is None:
+        rows = (
+            df.select(id_col, vec_col).orderBy(id_col).limit(n_seeds).collect()
+        )
+        seeds = np.asarray([r[1] for r in rows], dtype=np.float64)
+    seeds = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__n"),
+        _centroid_assign_col(F.col(vec_col), seeds, 1)[0].alias("sem_cluster"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+        "sem_cluster",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "sem_cluster",
+    )
+    pairs = (
+        a.join(b, "sem_cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = pair_components(pairs, max_iter=max_iter)
+    clustered = (
+        assigned.select(id_col, "sem_cluster")
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .drop("node")
+        .withColumn("__grp", F.coalesce(F.col("cluster"), F.col(id_col)))
+        .drop("cluster")
+    )
+    w = Window.partitionBy("__grp")
+    return (
+        clustered.withColumn("__rn", F.row_number().over(w.orderBy(F.col(id_col).asc())))
+        .withColumn("dup_size", F.count("*").over(w).cast("long"))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__grp")
+    )

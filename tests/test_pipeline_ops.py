@@ -853,3 +853,36 @@ def test_paragraph_dedup(spark):
     assert out[3]["n_paras"] == 1
     assert out[4]["text_clean"] == "delta\n\nepsilon"
     assert (out[4]["n_paras"], out[4]["n_kept"]) == (3, 2)
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup: nearest-seed bucketing, within-bucket cosine pairs,
+    transitive dup groups (a~b, b~c, a!~c still one group), survivor =
+    lowest id; scaled copies (cosine 1.0) always dedupe."""
+    import math
+
+    def rot(theta):  # unit vector at angle theta
+        return [math.cos(theta), math.sin(theta)]
+
+    eps = 0.01  # cos(0.01) ~ 0.99995 >= thr; cos(0.02) ~ 0.9998 < 0.9999
+    rows = [
+        (0, rot(0.0)),
+        (1, rot(eps)),  # pair with 0
+        (2, rot(2 * eps)),  # pair with 1, NOT with 0 at thr=0.9999
+        (10, [0.0, 3.0]),  # other cluster, scaled
+        (11, [0.0, 7.0]),  # exact direction dup of 10
+        (12, rot(math.pi / 2 - 0.3)),  # same cluster, not a dup
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seeds = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup(
+            df, threshold=0.9999, seeds=seeds
+        ).collect()
+    }
+    assert set(out) == {0, 10, 12}
+    assert out[0]["dup_size"] == 3 and out[0]["sem_cluster"] == 0
+    assert out[10]["dup_size"] == 2 and out[10]["sem_cluster"] == 1
+    assert out[12]["dup_size"] == 1 and out[12]["sem_cluster"] == 1
+    assert math.cos(2 * eps) < 0.9999 < math.cos(eps)  # chain premise
