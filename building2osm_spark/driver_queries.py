@@ -2099,6 +2099,38 @@ def q_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(sims, max_hamming=8, id_col="doc_id", nested=True)
 
 
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint image+caption near-dup canonicalization over the north-star
+    images table: phash-hamming edges ∪ caption-MinHash edges → connected
+    components → highest-resolution survivor (dedupe.multimodal_near_dup).
+    Fixture-driven: textured corpus (phash-sparse by construction) with
+    three planted dup families — full (src_of content redirect: pixels +
+    caption + size), caption-only (caption_for copy, own pixels), and
+    phash-only (phash copy, own caption) — so each modality's edge
+    generator contributes clusters the other cannot see. The underlying
+    kernels are parity/recall-proven in tests (pigeonhole exact recall,
+    minhash kernel equivalence, pair_components union-find ≡
+    propagation); the golden pins the composed output."""
+    from .sources.fixtures import _image_rows_pdf, caption_for, textured_pixels_for
+
+    def src_of(i: int) -> int:  # full dups: both modalities redirected
+        return i - 350 if 350 <= i < 365 else i
+
+    pdf = _image_rows_pdf(
+        list(range(400)), pixel_fn=textured_pixels_for, src_of=src_of
+    )
+    for i in range(365, 380):  # caption-only dups of ids 20..34
+        pdf.loc[i, "caption"] = caption_for(i - 345)
+    for i in range(380, 395):  # phash-only dups of ids 40..54
+        pdf.loc[i, "phash"] = pdf.loc[i - 340, "phash"]
+    df = spark.createDataFrame(
+        pdf[["image_id", "caption", "phash", "w", "h"]],
+        schema="image_id string, caption string, phash long, w int, h int",
+    )
+    out = DD.multimodal_near_dup(df, max_hamming=3)
+    return out.select("image_id", "cluster", "cluster_size")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-axis kernel (functions/audio.py): deterministic APCM clips →
     (duration, rms, zcr, peak) via the Arrow mapInPandas kernel. Fixture-
@@ -2557,6 +2589,7 @@ QUERIES = {
     "image_pipeline": q_image_pipeline,
     "raster_overlay": q_raster_overlay,
     "image_phash_buckets": q_image_phash_buckets,
+    "multimodal_dedup": q_multimodal_dedup,
     "audio_features": q_audio_features,
     "codec_dispatch": q_codec_dispatch,
     "video_frames": q_video_frames,
@@ -2646,6 +2679,7 @@ ORACLES.update(
             "image_pipeline",
             "raster_overlay",
             "image_phash_buckets",
+            "multimodal_dedup",
             "audio_features",
             "video_frames",
         ]

@@ -1211,3 +1211,72 @@ def paragraph_dedup(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def multimodal_near_dup(
+    images: DataFrame,
+    *,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    nested: bool = True,
+    caption_threshold: float = 0.8,
+    caption_shingle_k: int = 3,
+    rank_col: str | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Joint image+caption near-duplicate canonicalization over the
+    north-star images table (image_id, bytes, w, h, fmt, caption, phash):
+    an edge connects two rows when EITHER modality matches — perceptual
+    hashes within `max_hamming` (pigeonhole chunk join, exact recall;
+    `nested` adds the second level for low-entropy real phash corpora) OR
+    captions with MinHash-estimated Jaccard >= `caption_threshold` (LSH
+    band join). Connected components over the edge union form the dup
+    groups (a phash-dup of X and a caption-dup of X collapse into one
+    group through X); ONE survivor per group — highest rank (default
+    pixel count w*h when those columns exist, else lowest id), ties to
+    the lowest id.
+
+    Scale shape: both edge generators shuffle ids+keys only (never bytes
+    or captions past the signature stage), the component iteration is
+    id-only, and the final selection is one cluster-key shuffle
+    (dedup_keep_best). NOTE: constructing the result runs the upstream
+    hash jobs immediately (both pair generators localCheckpoint their
+    map-only signature inputs).
+
+    Returns the survivors: all original columns + `cluster` (smallest
+    member id) + `cluster_size`.
+    """
+    ph = images.select(
+        F.col(id_col).alias("doc_id"), F.col(phash_col).cast("long").alias("simhash")
+    )
+    phash_edges = simhash_near_pairs(
+        ph, id_col="doc_id", max_hamming=max_hamming, nested=nested
+    ).select("id_a", "id_b")
+    sigs = minhash_signatures(
+        images.filter(F.col(caption_col).isNotNull()),
+        text_col=caption_col,
+        id_col=id_col,
+        shingle_k=caption_shingle_k,
+    )
+    cap_edges = minhash_lsh_pairs(
+        sigs, id_col=id_col, threshold=caption_threshold
+    ).select("id_a", "id_b")
+    edges = phash_edges.unionByName(cap_edges)
+
+    if rank_col is None:
+        cols = set(images.columns)
+        rank_expr = (
+            (F.col("w").cast("long") * F.col("h").cast("long"))
+            if {"w", "h"} <= cols
+            else F.lit(0).cast("long")
+        )
+        ranked = images.withColumn("__mm_rank", rank_expr)
+        rank_col = "__mm_rank"
+    else:
+        ranked = images
+    out = dedup_keep_best(
+        ranked, edges, rank_col=rank_col, id_col=id_col, max_iter=max_iter
+    )
+    return out.drop("__mm_rank")

@@ -35,6 +35,7 @@ NAMES = [
     "image_pipeline",
     "raster_overlay",
     "image_phash_buckets",
+    "multimodal_dedup",
     "audio_features",
     "video_frames",
 ]

@@ -886,3 +886,26 @@ def test_semantic_dedup(spark):
     assert out[10]["dup_size"] == 2 and out[10]["sem_cluster"] == 1
     assert out[12]["dup_size"] == 1 and out[12]["sem_cluster"] == 1
     assert math.cos(2 * eps) < 0.9999 < math.cos(eps)  # chain premise
+
+
+def test_multimodal_near_dup(spark):
+    """Joint image+caption dedup: a phash-edge (A~B) and a caption-edge
+    (A~C) collapse into ONE group through A; survivor = largest w*h;
+    unrelated row passes through as a singleton."""
+    rows = [
+        ("img_a", "the red cat sat on the mat", 0x0, 16, 16),
+        ("img_b", "completely different words about boats sailing north",
+         0x1, 64, 64),  # hamming(a,b)=1 -> phash edge
+        ("img_c", "the red cat sat on the mat",
+         0xFF00FF00FF00FF00 - (1 << 64), 32, 32),  # identical caption -> minhash edge
+        ("img_d", "another unrelated sentence entirely about mountains",
+         0x8888888888888888 - (1 << 64), 24, 24),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string, phash long, w int, h int")
+    out = {r["image_id"]: r for r in D.multimodal_near_dup(df).collect()}
+    assert set(out) == {"img_b", "img_d"}
+    assert out["img_b"]["cluster"] == "img_a"
+    assert out["img_b"]["cluster_size"] == 3
+    assert out["img_d"]["cluster"] == "img_d"
+    assert out["img_d"]["cluster_size"] == 1
+    assert "__mm_rank" not in df.columns and "__mm_rank" not in out["img_b"].asDict()
