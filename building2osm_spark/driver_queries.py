@@ -851,6 +851,42 @@ FROM capped WHERE rn <= 40 GROUP BY lang
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (LM training-batch assembly):
+    content-hash-sharded stream-cut packing at a 512-token budget —
+    ONE shard shuffle + per-shard running sum (operators/sampling.
+    pack_sequences); every assignment is a pure function of the corpus,
+    independent of partitioning and cluster size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    from .operators.sampling import pack_sequences
+
+    return pack_sequences(docs, 512, n_shards=8)
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 15)
+         AS UBIGINT) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id, n_tokens, CAST(h % 8 AS INT) AS shard,
+         sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, shard,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset
+FROM w
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 20).select(
@@ -2559,6 +2595,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "url_domains": q_url_domains,
     "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "dedup_keep_best": q_dedup_keep_best,
     "paragraph_dedup": q_paragraph_dedup,
     "cosine_topk": q_cosine_topk,
@@ -2625,6 +2662,7 @@ ORACLES = {
     "pii_scrub": ORACLE_PII,
     "url_domains": ORACLE_URL_DOMAINS,
     "stratified_sample": ORACLE_STRATIFIED,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "cosine_topk": ORACLE_COSINE,

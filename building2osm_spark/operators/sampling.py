@@ -78,3 +78,58 @@ def stratified_cap(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | Column | None = None,
+    n_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic sequence packing (LM training-batch assembly):
+    concatenate documents into per-shard token streams and cut the
+    stream every `budget` tokens; a document belongs to the sequence
+    containing its FIRST token (seq = start_offset // budget), so a doc
+    longer than the budget spans cuts but still has exactly one
+    assignment. The concat order is (accept-hash, id) — content-
+    addressed, so the packing is partitioning-independent, retry-safe
+    and session-stable, and long/short docs decorrelate from id order.
+
+    Sharding = hash % n_shards bounds each window partition: ONE shuffle
+    on the shard key, then a per-shard running sum — size n_shards to
+    ~10^6 rows/shard at corpus scale (10^12 docs → ~10^6 shards). Token
+    counts default to whitespace tokens over `text_col` (pass token_col
+    for pre-tokenized counts, e.g. BPE lengths).
+
+    Returns (id_col, n_tokens, shard, seq, start_offset): everything a
+    reader needs to materialize sequence `(shard, seq)` by slicing the
+    ordered concat stream.
+    """
+    if token_col is None:
+        from ..functions.text import token_count_ws
+
+        tokens = token_count_ws(F.col(text_col))
+    else:
+        tokens = F.col(token_col) if isinstance(token_col, str) else token_col
+    h = _accept_hash(F.col(id_col), salt)
+    base = df.select(
+        F.col(id_col),
+        tokens.cast("long").alias("n_tokens"),
+        h.alias("__h"),
+        (h % F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("__cum", F.sum("n_tokens").over(w))
+        .withColumn("start_offset", (F.col("__cum") - F.col("n_tokens")).cast("long"))
+        .withColumn("seq", F.floor(F.col("start_offset") / F.lit(budget)).cast("long"))
+        .select(id_col, "n_tokens", "shard", "seq", "start_offset")
+    )

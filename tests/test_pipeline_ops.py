@@ -909,3 +909,32 @@ def test_multimodal_near_dup(spark):
     assert out["img_d"]["cluster"] == "img_d"
     assert out["img_d"]["cluster_size"] == 1
     assert "__mm_rank" not in df.columns and "__mm_rank" not in out["img_b"].asDict()
+
+
+def test_pack_sequences(spark):
+    """Stream-cut packing invariants: start offsets are exact prefix
+    sums in (hash, id) order, seq = start // budget, docs longer than
+    the budget keep one assignment, and the packing is partitioning-
+    independent."""
+    from building2osm_spark.operators import sampling as SP
+
+    rows = [(i, int(t)) for i, t in enumerate([300, 300, 300, 1200, 50, 512, 1, 700])]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    out = SP.pack_sequences(
+        df, 512, token_col="toks", n_shards=1, text_col=""
+    ).collect()
+    assert len(out) == 8 and all(r["shard"] == 0 for r in out)
+    ordered = sorted(out, key=lambda r: r["start_offset"])
+    cum = 0
+    for r in ordered:
+        assert r["start_offset"] == cum
+        assert r["seq"] == cum // 512
+        cum += r["n_tokens"]
+    assert cum == sum(t for _, t in rows)
+    out2 = SP.pack_sequences(
+        df.repartition(7), 512, token_col="toks", n_shards=1, text_col=""
+    ).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+    # multi-shard: same rows, shard = hash % n_shards partitions the corpus
+    out3 = SP.pack_sequences(df, 512, token_col="toks", n_shards=4, text_col="")
+    assert out3.count() == 8 and out3.select("doc_id").distinct().count() == 8
