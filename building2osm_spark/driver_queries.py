@@ -851,6 +851,48 @@ FROM capped WHERE rn <= 40 GROUP BY lang
 """
 
 
+def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (the pre-dedup cleanup pass): ctrl-strip ->
+    Unicode NFC -> lower -> whitespace collapse, one Arrow NFC kernel in
+    an otherwise native map-only chain. Enrichment appends doc_id-derived
+    combining marks, control bytes, and mixed whitespace so every stage
+    discriminates (unicodedata.normalize and DuckDB nfc_normalize both
+    implement standard Unicode NFC)."""
+    from .functions.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    enriched = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit("  CAFÉ  Nr")).otherwise(F.lit("")),
+            F.when(did % 4 == 1, F.lit(" xY")).otherwise(F.lit("")),
+            F.when(did % 5 == 2, F.lit(" A\tB\nC ")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return enriched.select(
+        "doc_id", normalize_text(F.col("text"), nfc=True).alias("norm_text")
+    )
+
+
+ORACLE_NORMALIZE = r"""
+WITH enriched AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN '  CAFE' || chr(769) || '  Nr' ELSE '' END
+    || CASE WHEN doc_id % 4 = 1 THEN ' x' || chr(1) || chr(31) || 'Y' ELSE '' END
+    || CASE WHEN doc_id % 5 = 2 THEN ' A' || chr(9) || 'B' || chr(10) || 'C ' ELSE '' END
+    AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  trim(regexp_replace(lower(nfc_normalize(
+    regexp_replace(text, '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))),
+    '\s+', ' ', 'g')) AS norm_text
+FROM enriched
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing (LM training-batch assembly):
     content-hash-sharded stream-cut packing at a 512-token budget —
@@ -2593,6 +2635,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "pii_scrub": q_pii_scrub,
+    "normalize_corpus": q_normalize_corpus,
     "url_domains": q_url_domains,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
@@ -2660,6 +2703,7 @@ ORACLES = {
     "token_stats": ORACLE_TOKEN,
     "lang_id": ORACLE_LANG,
     "pii_scrub": ORACLE_PII,
+    "normalize_corpus": ORACLE_NORMALIZE,
     "url_domains": ORACLE_URL_DOMAINS,
     "stratified_sample": ORACLE_STRATIFIED,
     "pack_sequences": ORACLE_PACK_SEQUENCES,

@@ -9,6 +9,8 @@ Python anywhere.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -153,3 +155,49 @@ def doc_fingerprint(text: Column) -> Column:
         )
 
     return F.shiftleft(rolling(31), 31).bitwiseOR(rolling(131))
+
+
+#: C0 controls except \t\n\r, plus DEL — written in the Java-regex ∩ RE2
+#: common subset (the PII-pattern precedent) so DuckDB runs the SAME string
+CTRL_PATTERN = r"[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(text: Column, *, nfc: bool = False) -> Column:
+    """CCNet/Gopher-style text normalization (the cleanup pass that runs
+    BEFORE hashing/dedup so byte-variant duplicates collapse): strip
+    control characters, optionally Unicode-NFC compose, lowercase, and
+    collapse whitespace runs to single spaces (trimmed).
+
+    The fixed stage order (ctrl -> [nfc] -> lower -> ws-collapse) is the
+    cross-engine contract shared with the DuckDB oracle. nfc=False (the
+    default) keeps the whole chain native Catalyst regexp/lower — map-only,
+    codegen-resident, zero Python. nfc=True inserts one Arrow pandas UDF
+    (Spark has no native NFC); unicodedata.normalize and DuckDB's
+    nfc_normalize both implement standard Unicode NFC, so outputs agree.
+    """
+    t = F.regexp_replace(text, CTRL_PATTERN, "")
+    if nfc:
+        t = _get_nfc_udf()(t)
+    t = F.lower(t)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+_NFC_UDF = None
+
+
+def _get_nfc_udf():
+    """Created lazily (a pandas_udf with a DDL return type needs an
+    active session) and cached per process."""
+    global _NFC_UDF
+    if _NFC_UDF is not None:
+        return _NFC_UDF
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc_udf(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    _NFC_UDF = nfc_udf
+    return nfc_udf

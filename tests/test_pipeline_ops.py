@@ -938,3 +938,37 @@ def test_pack_sequences(spark):
     # multi-shard: same rows, shard = hash % n_shards partitions the corpus
     out3 = SP.pack_sequences(df, 512, token_col="toks", n_shards=4, text_col="")
     assert out3.count() == 8 and out3.select("doc_id").distinct().count() == 8
+
+
+def test_normalize_text(spark):
+    """normalize_text == the pure-Python twin (ctrl -> NFC -> lower ->
+    ws-collapse) on controls, combining marks, mixed whitespace, nulls;
+    nfc=False path is all-native (no Python in the plan)."""
+    import re
+    import unicodedata
+
+    from building2osm_spark.functions.text import normalize_text
+
+    def py_norm(x):
+        t = re.sub(r"[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]", "", x)
+        t = unicodedata.normalize("NFC", t).lower()
+        return re.sub(r"\s+", " ", t).strip()
+
+    samples = [
+        "CAFÉ  Mixed\tCase",
+        "a\x01b\x1fc\x7fd",
+        "  léading  and trailing\n\n",
+        "Å ring",  # A + combining ring -> Å -> å
+        "",
+    ]
+    rows = [(i, s) for i, s in enumerate(samples)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_text(F.col("text"), nfc=True).alias("n")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert out[i] == py_norm(s), (i, out[i], py_norm(s))
+    assert out[99] is None
+    plan = df.select(normalize_text(F.col("text")).alias("n"))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
