@@ -130,6 +130,6 @@ def pack_sequences(
     return (
         base.withColumn("__cum", F.sum("n_tokens").over(w))
         .withColumn("start_offset", (F.col("__cum") - F.col("n_tokens")).cast("long"))
-        .withColumn("seq", F.floor(F.col("start_offset") / F.lit(budget)).cast("long"))
+        .withColumn("seq", F.expr(f"start_offset div {int(budget)}"))
         .select(id_col, "n_tokens", "shard", "seq", "start_offset")
     )

@@ -170,6 +170,54 @@ def main() -> None:
         "never carries geometry.",
     )
 
+    from building2osm_spark.operators import dedupe as DD
+    from building2osm_spark.operators.sampling import pack_sequences
+    from building2osm_spark.operators import similarity as SIM
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    add(
+        "Paragraph dedup (winner agg + digest join)",
+        DD.paragraph_dedup(docs),
+        "Winner per paragraph digest is a groupBy min(struct(id,pos)) —\n"
+        "partial aggregation absorbs a boilerplate paragraph repeated\n"
+        "across millions of docs map-side, where a digest WINDOW would\n"
+        "sort the whole hot partition in one unsplittable task. The keep\n"
+        "decision is a digest-keyed JOIN (AQE skew-splittable). Paragraph\n"
+        "text travels exactly once (into the reassembly groupBy);\n"
+        "everything else shuffles ids + 32-byte digests.",
+    )
+    add(
+        "Sequence packing (one shard shuffle)",
+        pack_sequences(docs, 512, n_shards=8),
+        "Shard + order key are one map-side md5 projection; the ONLY\n"
+        "exchange is hashpartitioning(shard) feeding the per-shard running\n"
+        "sum — no global sort anywhere. n_shards bounds each window\n"
+        "partition (~1e6 rows/shard at corpus scale); assignment is a pure\n"
+        "row function, so retries/resumes recompute identical packing.",
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seed_rows = emb.orderBy("vec_id").limit(8).collect()
+    seeds = np.asarray([r["embedding"] for r in seed_rows], dtype=np.float64)
+    seeds = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    add(
+        "Semantic-dedup bucket assignment (map-only scorer)",
+        emb.select(
+            "vec_id",
+            SIM._centroid_assign_col(F.col("embedding"), seeds, 1)[0].alias(
+                "sem_cluster"
+            ),
+        ),
+        "Nearest-seed assignment is ONE Project over the scan — literal\n"
+        "centroid expressions in whole-stage codegen (BLAS Arrow kernel\n"
+        "above 64 seeds); the 10^12-row corpus never shuffles to get its\n"
+        "bucket. Only the within-bucket pair join (downstream, not shown:\n"
+        "semantic_dedup eagerly materializes, so the plan here is the\n"
+        "assignment stage) moves data, keyed and skew-splittable.",
+    )
+
     # PLANS.md also carries manually-appended sections (round-3/4 plan
     # evidence: n-gram profile, bucketed conflation, decontamination, ...)
     # that this script does not regenerate. Everything after the MARKER
