@@ -851,6 +851,46 @@ FROM capped WHERE rn <= 40 GROUP BY lang
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization + per-session rollup over the events
+    table (operators/sessions.py): lag -> break flag -> running sum on
+    ONE user-key shuffle (plan-asserted in tests), then a map-side-
+    combinable (user, session) aggregation. Timestamps compare as epoch
+    micros (exact integers in both engines); value sums as
+    round-to-cents-then-sum (order-independent, unlike float sums)."""
+    from .operators.sessions import session_stats, sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(sessionize(events, 30.0))
+
+
+ORACLE_SESSIONIZE = """
+WITH o AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS tsu,
+         lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM f
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(tsu) AS BIGINT) AS start_us,
+       CAST(max(tsu) AS BIGINT) AS end_us,
+       CAST(max(tsu) - min(tsu) AS BIGINT) AS duration_us,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (the pre-dedup cleanup pass): ctrl-strip ->
     Unicode NFC -> lower -> whitespace collapse, one Arrow NFC kernel in
@@ -2630,6 +2670,7 @@ QUERIES = {
     "fix_url": q_fix_url,
     "parse_ref": q_parse_ref,
     "date_trunc": q_date_trunc,
+    "sessionize": q_sessionize,
     "json_extract": q_json_extract,
     "exact_dedup": q_exact_dedup,
     "token_stats": q_token_stats,
@@ -2698,6 +2739,7 @@ ORACLES = {
     "fix_url": ORACLE_FIX_URL,
     "parse_ref": ORACLE_PARSE_REF,
     "date_trunc": ORACLE_DATE_TRUNC,
+    "sessionize": ORACLE_SESSIONIZE,
     "json_extract": ORACLE_JSON,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "token_stats": ORACLE_TOKEN,

@@ -972,3 +972,42 @@ def test_normalize_text(spark):
     assert out[99] is None
     plan = df.select(normalize_text(F.col("text")).alias("n"))._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sessionize(spark):
+    """Gap rule (> gap starts new session, == gap does not), per-user
+    independence, tie-break by event id, and the single-exchange plan
+    (lag + running sum share one shuffle/sort)."""
+    from datetime import datetime as DT
+
+    from building2osm_spark.operators.sessions import session_stats, sessionize
+
+    t0 = DT(2024, 1, 1, 0, 0, 0)
+
+    def t(minutes):
+        return DT(2024, 1, 1, minutes // 60, minutes % 60, 0)
+
+    rows = [
+        (1, t(0), 10, 1.0),
+        (2, t(29), 10, 2.0),   # 29 min gap -> same session
+        (3, t(59), 10, 3.0),   # exactly 30 min -> still same (strict >)
+        (4, t(95), 10, 4.0),   # 36 min -> new session
+        (5, t(0), 20, 5.0),    # other user: own numbering
+        (6, t(0), 20, 6.0),    # same ts: tie-break by id, same session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    out = sessionize(df, 30.0)
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 1}
+    stats = {
+        (r["user_id"], r["session_seq"]): r
+        for r in session_stats(out).collect()
+    }
+    assert stats[(10, 1)]["n_events"] == 3 and stats[(10, 1)]["sum_cents"] == 600
+    assert stats[(10, 1)]["duration_us"] == 59 * 60 * 1_000_000
+    assert stats[(10, 2)]["n_events"] == 1
+    assert stats[(20, 1)]["n_events"] == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("Exchange") == 1, final
+    assert t0  # anchor unused-var lint
