@@ -927,7 +927,7 @@ WITH enriched AS (
 )
 SELECT doc_id,
   trim(regexp_replace(lower(nfc_normalize(
-    regexp_replace(text, '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))),
+    regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))),
     '\s+', ' ', 'g')) AS norm_text
 FROM enriched
 """

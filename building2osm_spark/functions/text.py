@@ -159,7 +159,7 @@ def doc_fingerprint(text: Column) -> Column:
 
 #: C0 controls except \t\n\r, plus DEL — written in the Java-regex ∩ RE2
 #: common subset (the PII-pattern precedent) so DuckDB runs the SAME string
-CTRL_PATTERN = r"[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]"
+CTRL_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
 
 
 def normalize_text(text: Column, *, nfc: bool = False) -> Column:

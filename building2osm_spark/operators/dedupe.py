@@ -1156,7 +1156,9 @@ def paragraph_dedup(
     and reassemble each doc from its kept paragraphs in original order.
 
     Every doc survives — one that loses all paragraphs comes back with
-    empty text. Consecutive separators collapse on reassembly (empty
+    empty text. Ids must be unique (the cross-doc ngram kernels' contract;
+    a duplicated id would duplicate its reassembled row through the final
+    id-keyed joins). Consecutive separators collapse on reassembly (empty
     paragraphs are dropped before dedup); that normalization is the
     documented contract, shared with the oracle.
 
@@ -1272,11 +1274,14 @@ def multimodal_near_dup(
             if {"w", "h"} <= cols
             else F.lit(0).cast("long")
         )
-        ranked = images.withColumn("__mm_rank", rank_expr)
+        slim = images.select(F.col(id_col), rank_expr.alias("__mm_rank"))
         rank_col = "__mm_rank"
     else:
-        ranked = images
-    out = dedup_keep_best(
-        ranked, edges, rank_col=rank_col, id_col=id_col, max_iter=max_iter
-    )
-    return out.drop("__mm_rank")
+        slim = images.select(F.col(id_col), F.col(rank_col))
+    # selection runs on (id, rank) ONLY — the cluster-key window must not
+    # shuffle image payloads; survivors then pull their full row back with
+    # one id-keyed join (this is what keeps "never bytes" true)
+    winners = dedup_keep_best(
+        slim, edges, rank_col=rank_col, id_col=id_col, max_iter=max_iter
+    ).select(id_col, "cluster", "cluster_size")
+    return images.join(winners, id_col)

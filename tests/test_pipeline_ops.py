@@ -950,13 +950,13 @@ def test_normalize_text(spark):
     from building2osm_spark.functions.text import normalize_text
 
     def py_norm(x):
-        t = re.sub(r"[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]", "", x)
+        t = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", x)
         t = unicodedata.normalize("NFC", t).lower()
         return re.sub(r"\s+", " ", t).strip()
 
     samples = [
         "CAFÉ  Mixed\tCase",
-        "a\x01b\x1fc\x7fd",
+        "a\x01b\x1fc\x7fd\x00e",
         "  léading  and trailing\n\n",
         "Å ring",  # A + combining ring -> Å -> å
         "",
