@@ -851,6 +851,47 @@ FROM capped WHERE rn <= 40 GROUP BY lang
 """
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinctive-term extraction (tf-idf-style keywording) with
+    EXACT integer ordering — score = (tf * N) // df, so ranks cannot flip
+    on last-ulp float differences between engines (operators/terms.py).
+    The quantized score produces many ties, so the lexicographic
+    tie-break is exercised corpus-wide."""
+    from .operators.terms import distinctive_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return distinctive_terms(docs, k=3)
+
+
+ORACLE_DISTINCTIVE_TERMS = r"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+n AS (SELECT count(*) AS n_docs FROM base),
+words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM base
+),
+ne AS (SELECT doc_id, term FROM words WHERE term <> ''),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ne GROUP BY doc_id, term
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         (tf.tf * (SELECT n_docs FROM n)) // dfq.df AS score
+  FROM tf JOIN dfq USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tf, df,
+         row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization + per-session rollup over the events
     table (operators/sessions.py): lag -> break flag -> running sum on
@@ -2671,6 +2712,7 @@ QUERIES = {
     "parse_ref": q_parse_ref,
     "date_trunc": q_date_trunc,
     "sessionize": q_sessionize,
+    "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
     "exact_dedup": q_exact_dedup,
     "token_stats": q_token_stats,
@@ -2740,6 +2782,7 @@ ORACLES = {
     "parse_ref": ORACLE_PARSE_REF,
     "date_trunc": ORACLE_DATE_TRUNC,
     "sessionize": ORACLE_SESSIONIZE,
+    "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "token_stats": ORACLE_TOKEN,

@@ -1011,3 +1011,27 @@ def test_sessionize(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
     assert final.count("Exchange") == 1, final
     assert t0  # anchor unused-var lint
+
+
+def test_distinctive_terms(spark):
+    """Integer tf*N//df ranking: rare terms outrank common ones, higher
+    tf wins within equal df, ties break lexicographically, top-k cap."""
+    from building2osm_spark.operators.terms import distinctive_terms
+
+    rows = [
+        (1, "common rare1 common zebra"),
+        (2, "common common unique2"),
+        (3, "common zebra apple apple"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = distinctive_terms(df, k=2)
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"]) for r in out.collect()}
+    # N=3. doc1: rare1 (1*3//1=3), zebra (1*3//2=1), common (2*3//3=2)
+    assert got[(1, 1)] == ("rare1", 1, 1)
+    assert got[(1, 2)] == ("common", 2, 3)
+    # doc3: apple tf2 df1 -> 6; zebra 1; common 1 -> tie zebra/common? common tf1*3//3=1, zebra 1*3//2=1 -> tie, 'common' < 'zebra'
+    assert got[(3, 1)] == ("apple", 2, 1)
+    assert got[(3, 2)] == ("common", 1, 3)
+    assert (4, 1) not in got  # null text dropped
+    assert max(r for (_, r) in got) <= 2
