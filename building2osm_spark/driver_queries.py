@@ -931,6 +931,124 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM s GROUP BY user_id, session_seq
 """
 
+_ASOF_TOL_US = 6 * 3_600_000_000  # 6 h: matched / tolerance-nulled /
+# never-matched are all non-empty at every SF (13/186/11 at sf0.001)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click event picks up the
+    nearest at-or-before purchase of the same user, nulled past a 6 h
+    tolerance — the union+window form (ONE key shuffle, no join
+    operator; plan-asserted in tests). The purchase side is
+    pre-aggregated to unique (user, ts) so both engines are
+    tiebreak-free; DuckDB's native ASOF LEFT JOIN is the independent
+    oracle formulation."""
+    from .operators.asof import asof_join
+    from .operators.sessions import epoch_us
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us", epoch_us(F.col("ts"))
+    )
+    lefts = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    rights = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.max("event_id").alias("quote_id"),
+            F.max(F.round(F.col("value") * 100, 0).cast("long")).alias("quote_cents"),
+        )
+    )
+    out = asof_join(
+        lefts,
+        rights,
+        "user_id",
+        ts_col="ts_us",
+        payload=["quote_id", "quote_cents"],
+        tolerance_us=_ASOF_TOL_US,
+        matched_ts_name="quote_ts_us",
+    )
+    return out.withColumn("gap_us", F.col("ts_us") - F.col("quote_ts_us"))
+
+
+ORACLE_ASOF_JOIN = f"""
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         max(event_id) AS quote_id,
+         max(CAST(round(value * 100, 0) AS BIGINT)) AS quote_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+m AS (
+  SELECT l.event_id, l.user_id, l.ts_us,
+         r.ts_us AS mts, r.quote_id AS qid, r.quote_cents AS qc
+  FROM l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+)
+SELECT event_id, user_id, ts_us,
+       CASE WHEN ts_us - mts <= {_ASOF_TOL_US} THEN mts END AS quote_ts_us,
+       CASE WHEN ts_us - mts <= {_ASOF_TOL_US} THEN qid END AS quote_id,
+       CASE WHEN ts_us - mts <= {_ASOF_TOL_US} THEN qc END AS quote_cents,
+       CASE WHEN ts_us - mts <= {_ASOF_TOL_US} THEN ts_us - mts END AS gap_us
+FROM m
+"""
+
+_IVAL_HALF_US = 7_200_000_000  # ±2 h purchase windows
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/asof.py): clicks against
+    ±2 h windows around each same-user purchase — the 1-D binning form
+    of the spatial cover join (intervals explode to covered 4 h buckets,
+    points probe their single bucket, pairs are exact and unique with no
+    post-join distinct). Multi-match (overlapping windows) and no-match
+    clicks both occur at every SF. Oracle is the plain inequality join
+    DuckDB can afford at oracle scale."""
+    from .operators.asof import interval_join
+    from .operators.sessions import epoch_us
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us", epoch_us(F.col("ts"))
+    )
+    pts = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
+    )
+    ivals = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts_us") - _IVAL_HALF_US).alias("start_us"),
+        (F.col("ts_us") + _IVAL_HALF_US).alias("end_us"),
+    )
+    out = interval_join(
+        pts, ivals, "user_id",
+        ts_col="ts_us", start_col="start_us", end_col="end_us",
+        bucket_us=2 * _IVAL_HALF_US,
+    )
+    return out.select(
+        "click_id", "user_id", "ts_us", "purchase_id",
+        (F.col("ts_us") - F.col("start_us") - _IVAL_HALF_US).alias("delta_us"),
+    )
+
+
+ORACLE_INTERVAL_JOIN = f"""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id,
+         epoch_us(ts) - {_IVAL_HALF_US} AS start_us,
+         epoch_us(ts) + {_IVAL_HALF_US} AS end_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, c.user_id, c.ts_us, p.purchase_id,
+       c.ts_us - p.start_us - {_IVAL_HALF_US} AS delta_us
+FROM c JOIN p
+  ON c.user_id = p.user_id AND c.ts_us BETWEEN p.start_us AND p.end_us
+"""
+
 
 def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (the pre-dedup cleanup pass): ctrl-strip ->
@@ -2712,6 +2830,8 @@ QUERIES = {
     "parse_ref": q_parse_ref,
     "date_trunc": q_date_trunc,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
     "exact_dedup": q_exact_dedup,
@@ -2782,6 +2902,8 @@ ORACLES = {
     "parse_ref": ORACLE_PARSE_REF,
     "date_trunc": ORACLE_DATE_TRUNC,
     "sessionize": ORACLE_SESSIONIZE,
+    "asof_join": ORACLE_ASOF_JOIN,
+    "interval_join": ORACLE_INTERVAL_JOIN,
     "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,
     "exact_dedup": ORACLE_EXACT_DEDUP,

@@ -17,6 +17,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_us(c: Column) -> Column:
+    """tz-proof epoch micros of a naive (NTZ) timestamp column: the wall
+    time is interpreted AS UTC regardless of the session timezone, so
+    the result equals DuckDB's epoch_us(naive) under any session zone —
+    see the derivation note inside sessionize()."""
+    return F.unix_micros(
+        F.from_utc_timestamp(c.cast("timestamp"), F.current_timezone())
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: float = 30.0,
@@ -49,9 +59,7 @@ def sessionize(
     # would shift by the session offset. Known edge: a DST-ambiguous wall
     # hour in a DST session zone can shift by the transition amount —
     # pin the session to UTC (session.get_spark does) where that matters.
-    ts_us = F.unix_micros(
-        F.from_utc_timestamp(F.col(ts_col).cast("timestamp"), F.current_timezone())
-    )
+    ts_us = epoch_us(F.col(ts_col))
     return (
         events.withColumn("ts_us", ts_us)
         .withColumn("__brk", brk)
