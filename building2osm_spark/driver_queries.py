@@ -1050,6 +1050,60 @@ FROM c JOIN p
 """
 
 
+def q_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (operators/stats.py): the
+    shuffle carries one partial-counted row per DISTINCT (lang, length)
+    — not raw docs — then a window over distinct values picks each
+    quantile at rank ceil(n*q) computed in INTEGER arithmetic (n*0.9 as
+    a double can land on either side of an integer boundary depending
+    on the engine). Type-1 (lower) empirical quantile, bitwise
+    reproducible."""
+    from .operators.stats import group_percentiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_percentiles(docs, "lang", "n_chars", [0.5, 0.9, 0.99])
+
+
+ORACLE_LENGTH_STATS = """
+WITH c AS (
+  SELECT lang, n_chars AS v, count(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT lang, v, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM c
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99
+FROM r GROUP BY lang
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width per-language length histogram: ONE map-combinable
+    aggregation on (lang, bucket); bucket edge in exact LONG arithmetic
+    (same div-after-pmod as interval_join)."""
+    from .operators.stats import group_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_histogram(docs, "lang", "n_chars", 256)
+
+
+ORACLE_LENGTH_HISTOGRAM = """
+SELECT lang,
+       CAST(n_chars - (n_chars % 256) AS BIGINT) AS bucket_lo,
+       count(*) AS n
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (the pre-dedup cleanup pass): ctrl-strip ->
     Unicode NFC -> lower -> whitespace collapse, one Arrow NFC kernel in
@@ -2832,6 +2886,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
+    "length_stats": q_length_stats,
+    "length_histogram": q_length_histogram,
     "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
     "exact_dedup": q_exact_dedup,
@@ -2904,6 +2960,8 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "asof_join": ORACLE_ASOF_JOIN,
     "interval_join": ORACLE_INTERVAL_JOIN,
+    "length_stats": ORACLE_LENGTH_STATS,
+    "length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,
     "exact_dedup": ORACLE_EXACT_DEDUP,
