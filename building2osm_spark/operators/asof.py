@@ -85,6 +85,10 @@ def asof_join(
     clash = (set(payload) | {matched_ts_name}) & set(left.columns)
     if clash:
         raise ValueError(f"right payload collides with left columns: {sorted(clash)}")
+    if matched_ts_name in payload:
+        raise ValueError(
+            f"matched_ts_name {matched_ts_name!r} collides with a payload column"
+        )
 
     lcols = list(left.columns)
     lpass = [c for c in lcols if c not in keys]
@@ -166,6 +170,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     bucket_us: int,
+    max_buckets: int = 4096,
 ) -> DataFrame:
     """Inner-join each point row to every interval row with the same key
     whose closed interval [start, end] contains the point's timestamp.
@@ -177,7 +182,11 @@ def interval_join(
     ``bucket_us`` is the binning width: each interval is replicated once
     per covered bucket (len/bucket + 1 copies), each point probes its
     single bucket. Output pairs are exact and unique by construction —
-    no post-join distinct.
+    no post-join distinct. An interval covering more than ``max_buckets``
+    buckets fails the job loudly (a single skewed interval at a
+    misconfigured bucket_us would otherwise materialize a huge
+    per-row array and OOM an executor) — raise ``bucket_us`` (or
+    ``max_buckets``, deliberately) instead.
     """
     if bucket_us <= 0:
         raise ValueError("bucket_us must be positive")
@@ -206,9 +215,15 @@ def interval_join(
     # explode_outer, not explode: the guard above guarantees non-empty
     # sequences, and plain explode would push an implicit size()>0
     # filter that re-inlines the generating expression (NOTES fact 23).
-    exploded = ivals.withColumn(
-        "__b", F.explode_outer(F.sequence(_bucket(start_col), _bucket(end_col)))
-    )
+    nb = _bucket(end_col) - _bucket(start_col) + 1
+    seq = F.when(
+        nb > int(max_buckets),
+        F.expr(
+            f"raise_error(concat('interval_join: an interval covers more than "
+            f"{int(max_buckets)} buckets of {b} us — raise bucket_us or max_buckets'))"
+        ).cast("array<bigint>"),
+    ).otherwise(F.sequence(_bucket(start_col), _bucket(end_col)))
+    exploded = ivals.withColumn("__b", F.explode_outer(seq))
     pts = points.where(F.col(ts_col).isNotNull()).withColumn("__b", _bucket(ts_col))
     return (
         pts.join(exploded, [*keys, "__b"])

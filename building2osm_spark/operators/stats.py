@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from .asof import _check_names
+
 
 def _rational(q: Union[float, str, Tuple[int, int]]) -> Tuple[int, int]:
     """Normalize a quantile spec to an exact (num, den) pair. Floats go
@@ -63,12 +65,16 @@ def group_percentiles(
     rats = [_rational(q) for q in quantiles]
     names = []
     for num, den in rats:
-        if den == 100 or (100 % den == 0):
+        if 100 % den == 0:
             names.append(f"p{num * (100 // den)}")
         else:
             names.append(f"p_{num}_{den}")
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate quantiles: {quantiles!r}")
+    _check_names([*groups, value_col], "group_percentiles input")
+    clash = set(names + ["n"]) & set(groups + [value_col])
+    if clash:
+        raise ValueError(f"output columns collide with input columns: {sorted(clash)}")
 
     counts = (
         df.where(F.col(value_col).isNotNull())
@@ -104,6 +110,10 @@ def group_histogram(
     if bucket <= 0:
         raise ValueError("bucket must be positive")
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    _check_names([*groups, value_col], "group_histogram input")
+    clash = {"bucket_lo", "n"} & set(groups + [value_col])
+    if clash:
+        raise ValueError(f"output columns collide with input columns: {sorted(clash)}")
     c = f"cast(`{value_col}` as bigint)"
     lo = F.expr(f"{c} - pmod({c}, {int(bucket)})")
     return (

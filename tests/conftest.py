@@ -29,3 +29,15 @@ def spark():
 
     s = get_spark(app="tests", cores=4, shuffle_partitions=8)
     yield s
+
+
+@pytest.fixture(scope="session")
+def final_plan():
+    """Executed-plan string, final plan only (AQE prints '== Initial
+    Plan ==' after it; assertions must not match the initial one)."""
+
+    def _fp(df) -> str:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.split("== Initial Plan ==")[0]
+
+    return _fp

@@ -86,16 +86,17 @@ def test_asof_equal_ts_tiebreak(spark):
     assert fwd.collect()[0]["rid"] == 9
 
 
-def test_asof_collision_and_plan(spark):
+def test_asof_collision_and_plan(spark, final_plan):
     left = _left(spark, [(1, 10, 100, "a")])
     right = _right(spark, [(10, 50, 7, 700)])
     with pytest.raises(ValueError, match="collides"):
         asof_join(left, right, "k", ts_col="ts_us", payload=["rid", "note"])
     with pytest.raises(ValueError, match="backward"):
         asof_join(left, right, "k", ts_col="ts_us", payload=["rid"], direction="nearest")
+    with pytest.raises(ValueError, match="matched_ts_name"):
+        asof_join(left, right, "k", ts_col="ts_us", payload=["rid"], matched_ts_name="rid")
     out = asof_join(left, right, "k", ts_col="ts_us", payload=["rid"])
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    final = plan.split("== Initial Plan ==")[0]
+    final = final_plan(out)
     assert final.count("Exchange") == 1, final
     assert "Python" not in final
 
@@ -142,7 +143,7 @@ def test_interval_join_semantics(spark):
             (9, 10, 240, 260),    # crosses a bucket edge at 250 with bucket 50
             (11, 10, 300, 200),   # inverted -> matches nothing
             (12, 10, None, 400),  # null bound -> matches nothing
-            (13, 30, 0, 10**9),   # key with no points
+            (13, 30, 0, 10**3),   # key with no points
         ],
         "iid long, k long, start_us long, end_us long",
     )
@@ -195,6 +196,21 @@ def test_interval_join_exact_past_2_53(spark):
         start_col="start_us", end_col="end_us", bucket_us=4,
     )
     assert sorted((r["pid"], r["iid"]) for r in out.collect()) == [(1, 7)]
+
+
+def test_interval_join_max_buckets_guard(spark):
+    """A single skewed interval at a misconfigured bucket_us must fail
+    loudly instead of materializing a multi-million-element array."""
+    pts = spark.createDataFrame([(1, 10, 100)], "pid long, k long, ts_us long")
+    ivals = spark.createDataFrame(
+        [(7, 10, 0, 10**9)], "iid long, k long, start_us long, end_us long"
+    )
+    out = interval_join(
+        pts, ivals, "k", ts_col="ts_us", start_col="start_us",
+        end_col="end_us", bucket_us=50,
+    )
+    with pytest.raises(Exception, match="covers more than 4096 buckets"):
+        out.collect()
 
 
 def test_interval_join_collision_raises(spark):

@@ -974,7 +974,7 @@ def test_normalize_text(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_sessionize(spark):
+def test_sessionize(spark, final_plan):
     """Gap rule (> gap starts new session, == gap does not), per-user
     independence, tie-break by event id, and the single-exchange plan
     (lag + running sum share one shuffle/sort)."""
@@ -1007,8 +1007,7 @@ def test_sessionize(spark):
     assert stats[(10, 1)]["duration_us"] == 59 * 60 * 1_000_000
     assert stats[(10, 2)]["n_events"] == 1
     assert stats[(20, 1)]["n_events"] == 2
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    final = final_plan(out)
     assert final.count("Exchange") == 1, final
     assert t0  # anchor unused-var lint
 

@@ -67,17 +67,25 @@ def test_percentiles_random_brute_force(spark):
             assert r[name] == _type1(vals, num, den), (g, name)
 
 
-def test_percentiles_plan_partial_agg(spark):
+def test_percentiles_plan_partial_agg(spark, final_plan):
     """The value shuffle must carry per-(group, value) partial counts,
     not raw rows: a partial_count HashAggregate below the exchange."""
     df = spark.range(10000).select(
         (F.col("id") % 3).alias("g"), (F.col("id") % 7).alias("v")
     )
     out = group_percentiles(df, "g", "v", [0.5])
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    final = plan.split("== Initial Plan ==")[0]
+    final = final_plan(out)
     assert "partial_count" in final, final
     assert "Python" not in final
+
+
+def test_stats_collision_raises(spark):
+    df = spark.createDataFrame([("a", 1)], "n string, v long")
+    with pytest.raises(ValueError, match="collide"):
+        group_percentiles(df, "n", "v", [0.5])
+    df2 = spark.createDataFrame([("a", 1)], "bucket_lo string, v long")
+    with pytest.raises(ValueError, match="collide"):
+        group_histogram(df2, "bucket_lo", "v", 5)
 
 
 def test_histogram(spark):
