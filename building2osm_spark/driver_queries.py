@@ -1104,6 +1104,62 @@ GROUP BY 1, 2
 """
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (the pre-flight check for every keyed
+    shuffle in this repo): per-key count distribution via
+    group_percentiles (exact integer ranks) + the deterministic top-10
+    heavy-hitter share (TakeOrdered — no full sort). One row:
+    n_keys, p50/p90/p99/p100 of per-key counts, top-10 count sum.
+    The constant-group window runs single-partition BY DESIGN: its
+    input is one row per DISTINCT per-key count value (count-of-counts
+    — thousands of rows even when keys number billions)."""
+    from .operators.stats import group_percentiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    pct = group_percentiles(
+        counts.withColumn("g", F.lit(1)), "g", "cnt", [0.5, 0.9, 0.99, 1.0]
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("user_id"))
+        .limit(10)
+        .agg(F.lit(1).alias("g"), F.sum("cnt").alias("top10_cnt"))
+    )
+    return pct.join(top, "g").select(
+        F.col("n").alias("n_keys"), "p50", "p90", "p99", "p100", "top10_cnt"
+    )
+
+
+ORACLE_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+),
+c AS (
+  SELECT cnt AS v, count(*) AS k FROM counts GROUP BY 1
+),
+r AS (
+  SELECT v, k,
+         sum(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(k) OVER () AS n
+  FROM c
+),
+pct AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_keys,
+         CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS p50,
+         CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS BIGINT) AS p90,
+         CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99,
+         CAST(min(CASE WHEN cum >= n THEN v END) AS BIGINT) AS p100
+  FROM r
+),
+top AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS top10_cnt FROM (
+    SELECT cnt FROM counts ORDER BY cnt DESC, user_id LIMIT 10
+  )
+)
+SELECT pct.*, top.top10_cnt FROM pct, top
+"""
+
+
 def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (the pre-dedup cleanup pass): ctrl-strip ->
     Unicode NFC -> lower -> whitespace collapse, one Arrow NFC kernel in
@@ -2888,6 +2944,7 @@ QUERIES = {
     "interval_join": q_interval_join,
     "length_stats": q_length_stats,
     "length_histogram": q_length_histogram,
+    "skew_profile": q_skew_profile,
     "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
     "exact_dedup": q_exact_dedup,
@@ -2962,6 +3019,7 @@ ORACLES = {
     "interval_join": ORACLE_INTERVAL_JOIN,
     "length_stats": ORACLE_LENGTH_STATS,
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
+    "skew_profile": ORACLE_SKEW_PROFILE,
     "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,
     "exact_dedup": ORACLE_EXACT_DEDUP,
