@@ -1112,11 +1112,20 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_keys, p50/p90/p99/p100 of per-key counts, top-10 count sum.
     The constant-group window runs single-partition BY DESIGN: its
     input is one row per DISTINCT per-key count value (count-of-counts
-    — thousands of rows even when keys number billions)."""
+    — thousands of rows even when keys number billions). Empty input
+    yields an empty result in BOTH engines (the oracle filters its
+    all-NULL aggregate row)."""
     from .operators.stats import group_percentiles
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # two consumers (percentile branch + top-10 branch): cut the lineage
+    # once so the scan + user_id shuffle run once (NOTES fact 14 —
+    # eager=False materializes at first action)
+    counts = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     pct = group_percentiles(
         counts.withColumn("g", F.lit(1)), "g", "cnt", [0.5, 0.9, 0.99, 1.0]
     )
@@ -1157,6 +1166,7 @@ top AS (
   )
 )
 SELECT pct.*, top.top10_cnt FROM pct, top
+WHERE pct.n_keys IS NOT NULL
 """
 
 
