@@ -1170,6 +1170,42 @@ WHERE pct.n_keys IS NOT NULL
 """
 
 
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment
+    (sampling.split_assign): cumulative integer boundaries over ONE
+    content-hash draw — disjoint + exhaustive by construction, stable
+    under any partitioning (independent per-split samples could overlap
+    or leak). Map-only; the per-(split, lang) rollup pins the exact
+    selection via sum_ids."""
+    from .operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="sp"
+    )
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+ORACLE_SPLIT_COUNTS = """
+WITH hashed AS (
+  SELECT doc_id, lang,
+    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'sp'), 1, 15) AS UBIGINT)
+      % 1000000 AS h
+  FROM documents
+)
+SELECT CASE WHEN h < 800000 THEN 'train'
+            WHEN h < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM hashed GROUP BY 1, 2
+"""
+
+
 def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (the pre-dedup cleanup pass): ctrl-strip ->
     Unicode NFC -> lower -> whitespace collapse, one Arrow NFC kernel in
@@ -2955,6 +2991,7 @@ QUERIES = {
     "length_stats": q_length_stats,
     "length_histogram": q_length_histogram,
     "skew_profile": q_skew_profile,
+    "split_counts": q_split_counts,
     "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
     "exact_dedup": q_exact_dedup,
@@ -3030,6 +3067,7 @@ ORACLES = {
     "length_stats": ORACLE_LENGTH_STATS,
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "skew_profile": ORACLE_SKEW_PROFILE,
+    "split_counts": ORACLE_SPLIT_COUNTS,
     "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,
     "exact_dedup": ORACLE_EXACT_DEDUP,

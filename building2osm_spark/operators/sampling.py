@@ -80,6 +80,46 @@ def stratified_cap(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    key: str | Column,
+    splits,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to exactly ONE named split (train/val/test …) by
+    the content hash: ``splits`` is an ordered mapping (or sequence of
+    pairs) of name -> fraction; fractions must sum to 1 at the 1e-6
+    acceptance resolution. The assignment is a pure function of the key
+    — partitioning-independent, retry-safe, session-stable, and disjoint
+    + exhaustive by construction (cumulative integer boundaries over one
+    hash draw; independent per-split samples could overlap or leak).
+    Map-only: no shuffle, no Python."""
+    items = list(splits.items()) if hasattr(splits, "items") else list(splits)
+    if len(items) < 2:
+        raise ValueError("need at least 2 splits")
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    bounds = []
+    cum = 0
+    for name, frac in items:
+        step = int(round(float(frac) * SAMPLE_MOD))
+        if step <= 0:
+            raise ValueError(f"split {name!r} fraction {frac} below 1e-6 resolution")
+        cum += step
+        bounds.append((str(name), cum))
+    if cum != SAMPLE_MOD:
+        raise ValueError(
+            f"fractions must sum to 1 at 1e-6 resolution (got {cum / SAMPLE_MOD})"
+        )
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = _accept_hash(key_col, salt) % SAMPLE_MOD
+    expr = F.lit(bounds[-1][0])  # last split needs no bound: h < MOD always
+    for name, b in reversed(bounds[:-1]):
+        expr = F.when(h < b, name).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -541,6 +541,45 @@ def test_deterministic_sampling(spark, docs):
         stratified_cap(docs, "lang", cap=0, key="doc_id")
 
 
+def test_split_assign(spark, docs, final_plan):
+    """Hash-boundary split assignment: disjoint + exhaustive, stable
+    under repartitioning, consistent with deterministic_sample's draw
+    on the same salt (split boundaries partition one hash), map-only."""
+    import pytest as _pytest
+
+    from building2osm_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    out = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s")
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == docs.count()  # exhaustive: every row gets a split
+    got = {r.doc_id: r.split for r in rows}
+    # partitioning-independent
+    got2 = {
+        r.doc_id: r.split
+        for r in split_assign(
+            docs.repartition(7), "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], salt="s"
+        ).select("doc_id", "split").collect()
+    }
+    assert got == got2
+    assert {"train", "val", "test"} == set(got.values())
+    # the first split IS deterministic_sample's selection at the same salt
+    train_ids = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.8, salt="s").select("doc_id").collect()}
+    assert train_ids == {d for d, s in got.items() if s == "train"}
+    final = final_plan(out)
+    assert "Exchange" not in final and "Python" not in final
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_assign(docs, "doc_id", {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError, match="resolution"):
+        split_assign(docs, "doc_id", {"a": 0.0000001, "b": 0.9999999})
+    with _pytest.raises(ValueError, match="already exists"):
+        split_assign(docs, "doc_id", {"a": 0.5, "b": 0.5}, out_col="lang")
+    with _pytest.raises(ValueError, match="at least 2"):
+        split_assign(docs, "doc_id", {"a": 1.0})
+
+
 def test_ivf_4096_centroids_broadcast_kernel(spark):
     """VERDICT #10: IVF beyond the literal-centroid limit — 4096 centroids
     route through the broadcast numpy kernel; on a clustered corpus the
