@@ -1206,6 +1206,58 @@ FROM hashed GROUP BY 1, 2
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing (sampling.mixture_sample): integer
+    target weights per source -> the largest deterministic subsample
+    matching the mixture (limiting source keeps everything, others
+    down-sample by exact-rational thresholds floored onto the 1e-6
+    acceptance grid). Weights derive from the source name
+    ((int(suffix) % 5) + 1) so both engines build the identical weight
+    table at any SF. One tiny count shuffle + a map-only filter; the
+    per-source rollup pins the exact selection via sum_ids."""
+    from .operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {s: (int(s[3:]) % 5) + 1 for s in sources}
+    out = mixture_sample(docs, "source", weights, key="doc_id", salt="mix")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = """
+WITH j AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST((CAST(substring(source, 4) AS INT) % 5) + 1 AS HUGEINT) AS w
+  FROM documents GROUP BY source
+),
+lim AS (
+  SELECT n AS n_star, w AS w_star FROM j
+  ORDER BY (SELECT count(*) FROM j q WHERE q.n * j.w < j.n * q.w), source
+  LIMIT 1
+),
+thresholds AS (
+  SELECT j.source,
+         least(CAST(1000000 AS HUGEINT),
+               (SELECT n_star FROM lim) * j.w * 1000000
+                 // ((SELECT w_star FROM lim) * j.n)) AS t
+  FROM j
+),
+kept AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN thresholds th ON d.source = th.source
+  WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 15)
+             AS UBIGINT) % 1000000 < th.t
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM kept GROUP BY source
+"""
+
+
 def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (the pre-dedup cleanup pass): ctrl-strip ->
     Unicode NFC -> lower -> whitespace collapse, one Arrow NFC kernel in
@@ -2992,6 +3044,7 @@ QUERIES = {
     "length_histogram": q_length_histogram,
     "skew_profile": q_skew_profile,
     "split_counts": q_split_counts,
+    "mixture_sample": q_mixture_sample,
     "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
     "exact_dedup": q_exact_dedup,
@@ -3068,6 +3121,7 @@ ORACLES = {
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "skew_profile": ORACLE_SKEW_PROFILE,
     "split_counts": ORACLE_SPLIT_COUNTS,
+    "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,
     "exact_dedup": ORACLE_EXACT_DEDUP,

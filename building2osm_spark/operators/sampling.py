@@ -120,6 +120,78 @@ def split_assign(
     return df.withColumn(out_col, expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    source: str,
+    weights,
+    key: str | Column,
+    salt: str = "mix",
+    max_sources: int = 100_000,
+) -> DataFrame:
+    """Rebalance a corpus to a target source mixture by deterministic
+    DOWN-sampling (the data-mixture operator of LM corpus assembly —
+    e.g. Pile/DoReMi-style weights): given positive integer ``weights``
+    per source, emit the LARGEST subsample whose expected per-source
+    share is proportional to the weights. Never up-samples: the
+    limiting source s* (minimal n_s/w_s as an exact rational) keeps all
+    its rows; every other source keeps fraction
+    ``(n_star * w_s) / (w_star * n_s)``.
+
+    Acceptance thresholds are computed in exact integer arithmetic
+    (Python bigints, floored onto the 1e-6 acceptance grid), and row
+    acceptance is the content hash of ``key`` — so the selection is a
+    pure row function: partitioning-independent, retry-safe,
+    session-stable, and reproducible cross-engine (the SQL oracle
+    re-derives the same thresholds in HUGEINT).
+
+    Scale shape: ONE narrow ``groupBy(source).count()`` whose result is
+    tiny (bounded by ``max_sources``, raises above it), then a MAP-ONLY
+    filter over the full corpus (literal-map threshold lookup stays in
+    codegen). The 10^12-row side never shuffles.
+
+    Contract: every observed source must have a positive integer weight
+    (unknown or NULL sources raise — a silent drop would corrupt the
+    mixture); weighted-but-absent sources raise too (the target mixture
+    is unattainable without up-sampling).
+    """
+    weights = dict(weights)
+    for s, w in weights.items():
+        if s is None or not isinstance(w, int) or isinstance(w, bool) or w <= 0:
+            raise ValueError(f"weights must map non-null source -> positive int, got {s!r}: {w!r}")
+    counts_rows = (
+        df.groupBy(source).agg(F.count(F.lit(1)).alias("n")).limit(max_sources + 1).collect()
+    )
+    if len(counts_rows) > max_sources:
+        raise ValueError(f"more than max_sources={max_sources} distinct sources")
+    counts = {r[0]: r[1] for r in counts_rows}
+    if None in counts:
+        raise ValueError("NULL source observed; mixture_sample requires a total source column")
+    unknown = sorted(set(counts) - set(weights))
+    if unknown:
+        raise ValueError(f"sources without a weight: {unknown[:10]}")
+    absent = sorted(set(weights) - set(counts))
+    if absent:
+        raise ValueError(f"weighted sources absent from the corpus: {absent[:10]}")
+    # limiting source: minimal n_s/w_s (exact rational compare); ties are
+    # irrelevant — tied ratios yield identical thresholds.
+    s_star = None
+    for s in sorted(counts):
+        if s_star is None or counts[s] * weights[s_star] < counts[s_star] * weights[s]:
+            s_star = s
+    n_star, w_star = counts[s_star], weights[s_star]
+    thresholds = {
+        s: min(SAMPLE_MOD, (n_star * weights[s] * SAMPLE_MOD) // (w_star * counts[s]))
+        for s in counts
+    }
+    key_col = F.col(key) if isinstance(key, str) else key
+    pairs: list[Column] = []
+    for s, t in thresholds.items():
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(t))
+    t_col = F.element_at(F.create_map(*pairs), F.col(source))
+    return df.filter((_accept_hash(key_col, salt) % SAMPLE_MOD) < t_col)
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -580,6 +580,74 @@ def test_split_assign(spark, docs, final_plan):
         split_assign(docs, "doc_id", {"a": 1.0})
 
 
+def test_mixture_sample(spark, final_plan):
+    """Mixture rebalancing: the limiting source (min n/w, exact rational)
+    keeps ALL rows, others keep floor-exact fractions; the kept set is a
+    Python-recomputable pure function of (key, salt); filter stage is
+    map-only; contract violations raise loudly."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from building2osm_spark.operators.sampling import mixture_sample
+
+    # A: n=40 w=2 (ratio 20); B: n=20 w=2 (ratio 10); C: n=10 w=1 (ratio 10)
+    # -> limiting ratio 10 (B/C tied): B and C keep everything, A keeps
+    # threshold 20*2*1e6 // (2*40) = 500000 (expected ~half).
+    rows = (
+        [(i, "A") for i in range(40)]
+        + [(100 + i, "B") for i in range(20)]
+        + [(200 + i, "C") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, schema="doc_id long, source string")
+    weights = {"A": 2, "B": 2, "C": 1}
+    out = mixture_sample(df, "source", weights, key="doc_id", salt="mx")
+    got = {(r.doc_id, r.source) for r in out.collect()}
+
+    def accepted(doc_id, t):
+        h = int(hashlib.md5(f"{doc_id}mx".encode()).hexdigest()[:15], 16)
+        return h % 1_000_000 < t
+
+    expect = {
+        (d, s)
+        for d, s in rows
+        if accepted(d, {"A": 500_000, "B": 1_000_000, "C": 1_000_000}[s])
+    }
+    assert got == expect
+    per = {s: 0 for s in weights}
+    for _, s in got:
+        per[s] += 1
+    assert per["B"] == 20 and per["C"] == 10  # limiting sources: no loss
+    assert 0 < per["A"] < 40  # strictly down-sampled
+
+    # partitioning independence
+    got2 = {
+        (r.doc_id, r.source)
+        for r in mixture_sample(
+            df.repartition(7), "source", weights, key="doc_id", salt="mx"
+        ).collect()
+    }
+    assert got2 == got
+
+    # the corpus-side filter is map-only native (counts collect aside)
+    final = final_plan(out)
+    assert "Exchange" not in final and "Python" not in final
+
+    with _pytest.raises(ValueError, match="without a weight"):
+        mixture_sample(df, "source", {"A": 2, "B": 2}, key="doc_id")
+    with _pytest.raises(ValueError, match="absent from the corpus"):
+        mixture_sample(df, "source", dict(weights, D=1), key="doc_id")
+    with _pytest.raises(ValueError, match="positive int"):
+        mixture_sample(df, "source", {"A": 2.0, "B": 2, "C": 1}, key="doc_id")
+    with _pytest.raises(ValueError, match="NULL source"):
+        nul = spark.createDataFrame(
+            [(1, None), (2, "A")], schema="doc_id long, source string"
+        )
+        mixture_sample(nul, "source", {"A": 1}, key="doc_id")
+    with _pytest.raises(ValueError, match="max_sources"):
+        mixture_sample(df, "source", weights, key="doc_id", max_sources=2)
+
+
 def test_ivf_4096_centroids_broadcast_kernel(spark):
     """VERDICT #10: IVF beyond the literal-centroid limit — 4096 centroids
     route through the broadcast numpy kernel; on a clustered corpus the
