@@ -1454,6 +1454,81 @@ FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def _incremental_dedup_sql() -> str:
+    """Independent SQL twin of q_incremental_dedup: standing corpus =
+    documents; new batch = planted tailword near-dups (doc_id<30,
+    +100000) plus novel no-match docs (30<=doc_id<40, +200000). Bipartite
+    (new, old) candidates only — the banded self-join is flag-filtered."""
+    a, b = DD._hash_params(64, 42)
+    m = DD._MERSENNE
+    mins = ",\n         ".join(
+        f"min(({a[i]} * h + {b[i]}) % {m}) AS h{i}" for i in range(64)
+    )
+    banded_union = " UNION ALL ".join(
+        "SELECT doc_id, " + str(band) + " AS band, array_to_string(["
+        + ", ".join(f"h{band * 4 + j}" for j in range(4))
+        + "], '_') AS bucket FROM sigs"
+        for band in range(16)
+    )
+    return f"""
+WITH unioned AS (
+  SELECT doc_id, text, 0 AS is_new FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' tailword' AS text, 1 AS is_new
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         'novel ' || doc_id || ' tokens nothing shared here ' || doc_id AS text,
+         1 AS is_new
+  FROM documents WHERE doc_id >= 30 AND doc_id < 40
+),
+words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM unioned
+),
+shingles AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1),
+                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                ELSE [array_to_string(ws, ' ')] END) AS sh
+  FROM words
+),
+based AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(sh), 1, 15) AS UBIGINT) % {m} AS BIGINT) AS h
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id, {mins}
+  FROM based GROUP BY doc_id
+),
+banded AS (
+  {banded_union}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM banded n
+  JOIN banded o USING (band, bucket)
+  JOIN unioned fn ON fn.doc_id = n.doc_id AND fn.is_new = 1
+  JOIN unioned fo ON fo.doc_id = o.doc_id AND fo.is_new = 0
+),
+est AS (
+  SELECT c.new_id, c.old_id,
+         ({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(64))})
+         / 64.0 AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.new_id
+  JOIN sigs sb ON sb.doc_id = c.old_id
+)
+SELECT new_id, old_id,
+       CAST(round(CAST(est_jaccard AS DOUBLE), 4) AS DOUBLE) AS est_jaccard
+FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+ORACLE_INCREMENTAL_DEDUP = _incremental_dedup_sql()
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster canonicalization end-to-end: MinHash LSH pairs →
     connected components over the pair graph → keep the longest member
@@ -2289,6 +2364,35 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-standing-corpus dedup (dedupe.incremental_lsh_pairs):
+    the standing corpus is the documents table; the new batch plants
+    tailword near-dups (doc_id<30) plus ten novel docs that must match
+    NOTHING (absence pins the no-false-positive side). With the default
+    broadcast probe the index lineage is two map-only scans — zero
+    index-side shuffles (plan-asserted in tests)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    novel = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("novel "),
+            F.col("doc_id").cast("string"),
+            F.lit(" tokens nothing shared here "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    new_sigs = DD.minhash_signatures(near.unionByName(novel))
+    index_sigs = DD.minhash_signatures(docs)
+    pairs = DD.incremental_lsh_pairs(new_sigs, index_sigs, bands=16, threshold=0.5)
+    return pairs.select(
+        "new_id", "old_id", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dup = docs.filter(F.col("doc_id") < 30).select(
@@ -3071,6 +3175,7 @@ QUERIES = {
     "building_types_parse": q_building_types_parse,
     "rotate_points": q_rotate_points,
     "minhash_near_dups": q_minhash_near_dups,
+    "incremental_dedup": q_incremental_dedup,
     "ngram_dup_profile": q_ngram_dup_profile,
     "ngram_dup_winnowed": q_ngram_dup_winnowed,
     "simhash_pairs": q_simhash_pairs,
@@ -3140,6 +3245,7 @@ ORACLES = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "minhash_near_dups": ORACLE_MINHASH,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "ngram_dup_profile": ORACLE_NGRAM_DUP,
     "ngram_dup_winnowed": ORACLE_NGRAM_WINNOWED,
     "decontaminate": ORACLE_DECONTAMINATE,

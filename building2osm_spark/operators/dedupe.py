@@ -250,6 +250,97 @@ def minhash_signatures(
     return with_bases.select(id_col, F.expr(f"array({mins})").alias("sig"))
 
 
+def _band_explode(
+    signatures: DataFrame, id_col: str, bands: int, sig_len: int
+) -> DataFrame:
+    """(id, band, bucket array<long>) LSH band rows — a map-only
+    projection (explode of a literal-slice array; no shuffle). The bucket
+    key is the slot-slice ARRAY itself: exact banding, no
+    collision-induced false candidates (see minhash_lsh_pairs)."""
+    rows_per_band = sig_len // bands
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.slice(
+                            "sig", i * rows_per_band + 1, rows_per_band
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def incremental_lsh_pairs(
+    new_signatures: DataFrame,
+    index_signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    threshold: float = 0.5,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Probe a STANDING corpus with a new batch: bipartite near-dup
+    candidates (new_id, old_id, est_jaccard) between `new_signatures`
+    (the incoming snapshot's MinHash signatures) and `index_signatures`
+    (the standing corpus signature table, e.g. a Parquet table written
+    once and probed by every subsequent batch). This is the incremental
+    half of snapshot deduplication — new-vs-new dups are
+    ``minhash_lsh_pairs``' job on the new batch alone.
+
+    Scale shape (the 10^12-row standing corpus): with ``broadcast=True``
+    (default) the NEW side is broadcast at both probe points — the band
+    join and the est re-join — so the index lineage is two MAP-ONLY
+    scans (band projection + signature re-join) with ZERO index-side
+    shuffles; the only exchange in the plan is the candidate-id distinct,
+    which carries ids only. HARD CONTRACT: broadcast=True requires the
+    new batch (bands× band rows + candidate pairs) to fit the broadcast
+    limit — pass broadcast=False for large batches and let AQE pick the
+    join strategy (the index then shuffles on (band, bucket) and id).
+
+    Ids must be disjoint across batch and index (same id ==> same doc is
+    the caller's contract; a shared id would pair a document with
+    itself)."""
+    new_signatures = new_signatures.localCheckpoint(eager=True)
+    sig_len = new_signatures.selectExpr("size(sig) AS n").first()["n"]
+    new_banded = _band_explode(new_signatures, id_col, bands, sig_len).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    idx_banded = _band_explode(index_signatures, id_col, bands, sig_len).select(
+        F.col(id_col).alias("old_id"), "band", "bucket"
+    )
+    probe = F.broadcast(new_banded) if broadcast else new_banded
+    cand = (
+        idx_banded.join(probe, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    if broadcast:
+        cand = F.broadcast(cand)
+    sig_new = new_signatures.select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a")
+    )
+    sig_old = index_signatures.select(
+        F.col(id_col).alias("old_id"), F.col("sig").alias("sig_b")
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    return (
+        sig_old.join(cand, "old_id")
+        .join(F.broadcast(sig_new) if broadcast else sig_new, "new_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "old_id", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -284,23 +375,7 @@ def minhash_lsh_pairs(
     # revisit for long-lived dynamic-allocation services.)
     signatures = signatures.localCheckpoint(eager=True)
     sig_len = signatures.selectExpr("size(sig) AS n").first()["n"]
-    rows_per_band = sig_len // bands
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.slice(
-                            "sig", i * rows_per_band + 1, rows_per_band
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_explode(signatures, id_col, bands, sig_len)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")

@@ -47,6 +47,50 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert near_found >= 17
 
 
+def test_incremental_lsh_pairs(spark, docs, final_plan):
+    """Standing-corpus probe: bipartite (new, old) pairs only — within-new
+    and within-old dups are NEVER reported; exact copies across the
+    boundary estimate 1.0; the broadcast probe leaves the index lineage
+    shuffle-join-free; broadcast=False drops the forced hints."""
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 200)
+    index_sigs = D.minhash_signatures(base)
+    # new batch: near-dup of doc 1, exact copy of doc 2, a novel doc, and
+    # TWO identical new docs (must not pair with each other)
+    t1, t2 = [r.text for r in base.filter(F.col("doc_id").isin(1, 2)).orderBy("doc_id").collect()]
+    new = spark.createDataFrame(
+        [
+            (1001, t1 + " tailword"),
+            (1002, t2),
+            (1003, "totally novel stream of unseen tokens qqq www eee"),
+            (1004, "identical new document content right here exactly"),
+            (1005, "identical new document content right here exactly"),
+        ],
+        schema="doc_id long, text string",
+    )
+    new_sigs = D.minhash_signatures(new)
+    pairs = D.incremental_lsh_pairs(new_sigs, index_sigs, bands=16, threshold=0.5)
+    rows = pairs.collect()
+    got = {(r.new_id, r.old_id) for r in rows}
+    est = {(r.new_id, r.old_id): r.est_jaccard for r in rows}
+    assert (1002, 2) in got and est[(1002, 2)] == 1.0  # exact cross copy
+    assert (1001, 1) in got  # near-dup found
+    new_ids = {1001, 1002, 1003, 1004, 1005}
+    assert all(n in new_ids and o not in new_ids for n, o in got)
+    assert not any(n in (1004, 1005) for n, _ in got)  # within-new invisible
+    assert not any(n == 1003 for n, _ in got)  # novel doc matches nothing
+
+    # broadcast probe: no shuffle joins anywhere in the final plan — the
+    # index side is scanned map-only into BroadcastHashJoins
+    final = final_plan(pairs)
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+
+    plain = D.incremental_lsh_pairs(
+        new_sigs, index_sigs, bands=16, threshold=0.5, broadcast=False
+    )
+    assert "UnresolvedHint" not in plain._jdf.queryExecution().logical().toString()
+    assert {(r.new_id, r.old_id) for r in plain.collect()} == got
+
+
 def test_minhash_kernel_equivalence(spark, docs):
     """arrow (default) and native signature kernels are bit-identical —
     same int64 arithmetic, numpy reduceat vs array_min(transform(...));
