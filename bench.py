@@ -618,6 +618,56 @@ def main() -> None:
 
     timed("minhash_500k", minhash_500k)
 
+    def incremental_50k_vs_500k():
+        # snapshot dedup: probe a STANDING 500k-doc corpus with a 50k
+        # new batch (25k planted near-dups of corpus docs + 25k novel).
+        # The index SIGNATURES are precomputed to parquet (one-time cost,
+        # untimed — the standing-pipeline shape); the timed action is
+        # new-batch signatures + broadcast band probe + est verify, with
+        # the index lineage running as two map-only scans.
+        from building2osm_spark.operators import dedupe as DDop
+        from building2osm_spark.sources.fixtures import distributed_documents
+
+        docs_path = bench_path("docs_500k")
+        if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+            distributed_documents(spark, 500_000).write.mode("overwrite").parquet(
+                docs_path
+            )
+        idx_path = bench_path("sig_index_500k")
+        docs = spark.read.parquet(docs_path)
+        if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+            DDop.minhash_signatures(docs, base_hash="xxhash64").write.mode(
+                "overwrite"
+            ).parquet(idx_path)
+        index_sigs = spark.read.parquet(idx_path)
+        # fixture doc_ids are strings ("doc_%010d"); select batches off the
+        # numeric suffix and prefix the new ids so they can't collide with
+        # the index side.
+        num = F.substring("doc_id", 5, 10).cast("long")
+        near = docs.filter(num % 20 == 0).select(
+            F.concat(F.lit("new_"), F.col("doc_id")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+        novel = docs.filter(num % 20 == 1).select(
+            F.concat(F.lit("nov_"), F.col("doc_id")).alias("doc_id"),
+            F.concat(
+                F.lit("novel "),
+                F.col("doc_id"),
+                F.lit(" tokens nothing shared here "),
+                F.md5(F.col("doc_id")),
+            ).alias("text"),
+        )
+        new_sigs = DDop.minhash_signatures(
+            near.unionByName(novel), base_hash="xxhash64"
+        )
+        n = DDop.incremental_lsh_pairs(
+            new_sigs, index_sigs, bands=16, threshold=0.5
+        ).count()
+        extras["incremental_pairs"] = n
+        return n
+
+    timed("incremental_50k_vs_500k", incremental_50k_vs_500k)
+
     def ivf_500k():
         # ANN at corpus scale: probe a PREBUILT IVF index (500k clustered
         # embeddings, 256 lists, nprobe=8) — the index pass is the one-time
