@@ -892,6 +892,73 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-BPE-merge pair statistics (operators/terms.bpe_pair_counts
+    — the corpus-scale inner step of tokenizer training): adjacent
+    character pairs inside words, weighted by corpus word frequency,
+    top-50 by (cnt desc, pair asc). The corpus collapses to its
+    vocabulary-sized word-frequency table on ONE map-side-combinable
+    shuffle; the pair explosion runs over DISTINCT words only — never
+    over the corpus text. Counts are exact integers, so the top-k is
+    cross-engine deterministic."""
+    from .operators.terms import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_counts(docs, k=50)
+
+
+ORACLE_BPE_PAIRS = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE length(word) >= 2 GROUP BY word
+),
+positions AS (
+  SELECT word, n, unnest(range(1, length(word))) AS i FROM words
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, sum(n) AS cnt
+  FROM positions GROUP BY 1
+)
+SELECT pair, CAST(cnt AS BIGINT) AS cnt
+FROM pairs ORDER BY cnt DESC, pair ASC LIMIT 50
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval/embedding-prep chunking (operators/chunking.py):
+    fixed 120-char windows stepping by 90 (30-char overlap), last
+    start capped at ceil((len-120)/90)*90 so the shorter tail chunk is
+    never contained in its predecessor, every character covered.
+    MAP-ONLY (one generated
+    start array + posexplode — no shuffle, no Python), so the operator
+    adds zero exchanges in front of an embedding stage at any scale.
+    Purely positional -> exact SQL twin via generate_series + substr."""
+    from .operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, size=120, overlap=30)
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, greatest((length(text) - 120 + 89) // 90, 0) * 90, 90)) AS start
+  FROM base WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(start // 90 AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start,
+       substr(text, CAST(start + 1 AS INT), 120) AS chunk
+FROM starts
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization + per-session rollup over the events
     table (operators/sessions.py): lag -> break flag -> running sum on
@@ -1255,6 +1322,36 @@ kept AS (
 SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(doc_id) AS BIGINT) AS sum_ids
 FROM kept GROUP BY source
+"""
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + contiguous index
+    (sampling.epoch_shuffle — the LM epoch shuffle / zipWithIndex at
+    scale): pos in [0, N) in ascending (content-hash, key) order.
+    Global-order windows don't scale (single reducer), so the engine
+    range-shards on the TOP hash bits (shard order IS global order;
+    uniform shard sizes regardless of data skew), ranks within shards
+    over ONE shuffle, and broadcast-joins driver-cumulated shard
+    offsets back. The oracle is the single-reducer formulation the
+    operator replaces — row_number() OVER (ORDER BY h, key) - 1 — so a
+    hash-match proves the sharded form IS the global order."""
+    from .operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", salt="ep", n_shards=64)
+
+
+ORACLE_EPOCH_SHUFFLE = """
+WITH hashed AS (
+  SELECT doc_id,
+    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'ep'), 1, 15) AS UBIGINT) AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h >> 54 AS BIGINT) AS shard,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM hashed
 """
 
 
@@ -3149,6 +3246,9 @@ QUERIES = {
     "skew_profile": q_skew_profile,
     "split_counts": q_split_counts,
     "mixture_sample": q_mixture_sample,
+    "epoch_shuffle": q_epoch_shuffle,
+    "bpe_pairs": q_bpe_pairs,
+    "chunk_documents": q_chunk_documents,
     "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
     "exact_dedup": q_exact_dedup,
@@ -3227,6 +3327,9 @@ ORACLES = {
     "skew_profile": ORACLE_SKEW_PROFILE,
     "split_counts": ORACLE_SPLIT_COUNTS,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+    "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
+    "bpe_pairs": ORACLE_BPE_PAIRS,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,
     "exact_dedup": ORACLE_EXACT_DEDUP,

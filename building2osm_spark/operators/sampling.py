@@ -245,3 +245,79 @@ def pack_sequences(
         .withColumn("seq", F.expr(f"start_offset div {int(budget)}"))
         .select(id_col, "n_tokens", "shard", "seq", "start_offset")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str | Column,
+    salt: str = "epoch",
+    n_shards: int = 1024,
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle with a CONTIGUOUS position index —
+    the LM "epoch shuffle" (and the DataFrame form of zipWithIndex at
+    scale): every row gets ``pos`` in [0, N) in ascending
+    (accept-hash, key) order, a content-addressed pseudo-random
+    permutation that is partitioning-independent, retry-safe,
+    session-stable, and reproducible cross-engine (the SQL twin is
+    ``row_number() OVER (ORDER BY hash, key) - 1``).
+
+    Scale shape — a global index cannot be one window
+    (``Window.orderBy`` without ``partitionBy`` is a single reducer):
+
+    - ``shard`` = the TOP bits of the 60-bit hash (hash-RANGE sharding:
+      shard order IS global order, and shards are uniformly sized
+      regardless of data skew because the hash is uniform).
+      ``n_shards`` must be a power of two so the shard is an exact
+      ``shiftright`` — a general divisor needs integer division, and a
+      double ``floor(h/d)`` mis-buckets past 2^53 (same trap as
+      interval_join's bucket index).
+    - within-shard rank: ONE window over the shard shuffle.
+    - shard offsets: per-shard counts (reuses the shuffle via
+      localCheckpoint — ≤ n_shards rows after map-side combine),
+      cumulated on the driver, broadcast-joined back.
+
+    ONE full-data shuffle total; no Python on the data path. Size
+    n_shards so a shard fits a reducer's sort (~10^6 rows/shard).
+
+    Duplicate keys hash identically: positions stay contiguous and the
+    SET of positions per key is deterministic, but order among equal
+    keys is a row_number tie — pass a unique key for a stable total
+    order.
+    """
+    if n_shards < 1 or (n_shards & (n_shards - 1)) != 0 or n_shards > (1 << 20):
+        raise ValueError(
+            f"n_shards must be a power of two in [1, 2^20], got {n_shards}"
+        )
+    for c in (pos_col, shard_col):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    if pos_col == shard_col:
+        raise ValueError("pos_col and shard_col must differ")
+    key_col = F.col(key) if isinstance(key, str) else key
+    shift = 60 - (n_shards.bit_length() - 1)
+    sharded = df.withColumn("__h", _accept_hash(key_col, salt)).withColumn(
+        shard_col, F.shiftright(F.col("__h"), shift)
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h").asc(), key_col.asc())
+    # two consumers (offset counts + the returned rows): cut the lineage so
+    # the scan + shard shuffle run once (NOTES fact 14)
+    ranked = sharded.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    counts = sorted(
+        (r[0], r[1])
+        for r in ranked.groupBy(shard_col).agg(F.max("__rn").alias("__n")).collect()
+    )
+    offsets, cum = [], 0
+    for s, n in counts:
+        offsets.append((s, cum))
+        cum += n
+    off_df = df.sparkSession.createDataFrame(
+        offsets, schema=f"{shard_col} long, __off long"
+    )
+    out = ranked.join(F.broadcast(off_df), shard_col).withColumn(
+        pos_col, F.col("__off") + F.col("__rn") - F.lit(1)
+    )
+    return out.select(*df.columns, shard_col, pos_col)

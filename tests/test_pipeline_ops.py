@@ -692,6 +692,70 @@ def test_mixture_sample(spark, final_plan):
         mixture_sample(df, "source", weights, key="doc_id", max_sources=2)
 
 
+def test_epoch_shuffle(spark, docs, final_plan):
+    """Deterministic global shuffle: pos is exactly [0, N) in ascending
+    (hash, key) order; independent of input partitioning and of
+    n_shards (hash-range sharding preserves global order); shards are
+    the non-decreasing hash-prefix; one full-data Exchange + a
+    broadcast offsets join; contract violations raise loudly."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from building2osm_spark.operators.sampling import epoch_shuffle
+
+    out = epoch_shuffle(docs, "doc_id", salt="e", n_shards=8)
+    rows = sorted(out.select("doc_id", "shard", "pos").collect(), key=lambda r: r.pos)
+    n = docs.count()
+    assert [r.pos for r in rows] == list(range(n))  # contiguous [0, N)
+
+    # pos order == brute-force (md5-60bit, key) order recomputed in Python
+    def h(doc_id):
+        return int(hashlib.md5(f"{doc_id}e".encode()).hexdigest()[:15], 16)
+
+    ids_by_pos = [r.doc_id for r in rows]
+    assert ids_by_pos == sorted(ids_by_pos, key=lambda d: (h(d), d))
+    assert ids_by_pos != sorted(ids_by_pos)  # it IS a shuffle
+
+    # shard = top-3 hash bits, non-decreasing along pos (range sharding)
+    assert [r.shard for r in rows] == [h(d) >> 57 for d in ids_by_pos]
+    assert [r.shard for r in rows] == sorted(r.shard for r in rows)
+
+    # n_shards- and partitioning-independent
+    one = {
+        (r.doc_id, r.pos)
+        for r in epoch_shuffle(docs, "doc_id", salt="e", n_shards=1).collect()
+    }
+    rep = {
+        (r.doc_id, r.pos)
+        for r in epoch_shuffle(
+            docs.repartition(7), "doc_id", salt="e", n_shards=8
+        ).collect()
+    }
+    assert one == rep == {(r.doc_id, r.pos) for r in rows}
+
+    # plan: broadcast offsets join; the only hash Exchange is the shard
+    # shuffle (it sits behind the localCheckpoint; the final plan must
+    # not add another full-data exchange) and no Python on the data path
+    final = final_plan(out)
+    assert "BroadcastHashJoin" in final
+    assert "Exchange hashpartitioning" not in final and "Python" not in final
+
+    # empty input -> empty output, schema intact
+    empty = epoch_shuffle(docs.filter(F.col("doc_id") < 0), "doc_id", n_shards=4)
+    assert empty.count() == 0
+    assert empty.columns == docs.columns + ["shard", "pos"]
+
+    with _pytest.raises(ValueError, match="power of two"):
+        epoch_shuffle(docs, "doc_id", n_shards=3)
+    with _pytest.raises(ValueError, match="power of two"):
+        epoch_shuffle(docs, "doc_id", n_shards=0)
+    with _pytest.raises(ValueError, match="already exists"):
+        epoch_shuffle(docs, "doc_id", pos_col="lang")
+    with _pytest.raises(ValueError, match="must differ"):
+        epoch_shuffle(docs, "doc_id", pos_col="p", shard_col="p")
+
+
 def test_ivf_4096_centroids_broadcast_kernel(spark):
     """VERDICT #10: IVF beyond the literal-centroid limit — 4096 centroids
     route through the broadcast numpy kernel; on a clustered corpus the
@@ -1185,3 +1249,83 @@ def test_distinctive_terms(spark):
     assert got[(3, 2)] == ("common", 1, 3)
     assert (4, 1) not in got  # null text dropped
     assert max(r for (_, r) in got) <= 2
+
+
+def test_bpe_pair_counts(spark, final_plan):
+    """First BPE merge: pairs weighted by word frequency, one count per
+    in-word position, single-char words and null text dropped, top-k
+    deterministic via (cnt desc, pair asc), corpus never explodes."""
+    import pytest as _pytest
+
+    from building2osm_spark.operators.terms import bpe_pair_counts
+
+    rows = [
+        (1, "abab ab  Cd"),  # multi-space + case fold
+        (2, "ab x"),  # 'x' has no pair -> dropped
+        (3, None),
+        (4, "aaa"),  # repeated pair counts per position: 'aa' x2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bpe_pair_counts(df, k=10)
+    got = [(r.pair, r.cnt) for r in out.collect()]
+    # words: abab(1) -> ab,ba,ab; ab(2) -> ab; cd(1); aaa(1) -> aa,aa
+    assert got == [("ab", 4), ("aa", 2), ("ba", 1), ("cd", 1)]
+    assert [(r.pair, r.cnt) for r in bpe_pair_counts(df, k=1).collect()] == [("ab", 4)]
+
+    final = final_plan(out)
+    assert "Python" not in final
+    assert "TakeOrderedAndProject" in final  # top-k, not a full sort
+
+    with _pytest.raises(ValueError, match="k must be"):
+        bpe_pair_counts(df, k=0)
+
+
+def test_chunk_documents(spark, final_plan):
+    """Positional chunking: stride = size - overlap, full coverage,
+    shorter tail, overlap shared between consecutive chunks, empty/null
+    text yields nothing, map-only plan, guards raise."""
+    import pytest as _pytest
+
+    from building2osm_spark.operators.chunking import chunk_documents
+
+    rows = [
+        (1, "abcdefghij"),  # len 10
+        (2, "abc"),  # shorter than size
+        (3, ""),  # empty -> no chunks
+        (4, None),  # null -> dropped
+        (5, "abcde"),  # len == size -> exactly one chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, size=5, overlap=2)  # stride 3
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start, r.chunk) for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (0, "abcde"),
+        (1, 1): (3, "defgh"),
+        (1, 2): (6, "ghij"),
+        (2, 0): (0, "abc"),
+        (5, 0): (0, "abcde"),
+    }
+    # full coverage with the declared overlap
+    chunks1 = [got[(1, i)] for i in range(3)]
+    text1 = rows[0][1]
+    for start, chunk in chunks1:
+        assert text1[start : start + 5] == chunk
+    assert "".join(c[: 3] for _, c in chunks1[:-1]) + chunks1[-1][1] == text1
+
+    final = final_plan(out)
+    assert "Exchange" not in final and "Python" not in final  # map-only
+
+    # no-overlap path
+    plain = chunk_documents(df.filter("doc_id = 1"), size=4)
+    assert [r.chunk for r in plain.orderBy("chunk_idx").collect()] == [
+        "abcd", "efgh", "ij",
+    ]
+
+    with _pytest.raises(ValueError, match="size must be"):
+        chunk_documents(df, size=0)
+    with _pytest.raises(ValueError, match="overlap must be"):
+        chunk_documents(df, size=4, overlap=4)
+    with _pytest.raises(ValueError, match="overlap must be"):
+        chunk_documents(df, size=4, overlap=-1)
