@@ -40,6 +40,10 @@ def chunk_documents(
         raise ValueError(f"size must be >= 1, got {size}")
     if not 0 <= overlap < size:
         raise ValueError(f"overlap must be in [0, size), got {overlap}")
+    if id_col in ("pos", "col") or text_col in ("pos", "col"):
+        # posexplode's output names; an input column so named would make
+        # the projection ambiguous
+        raise ValueError("id_col/text_col must not be named 'pos' or 'col'")
     stride = size - overlap
     # exact integer ceil-div for the last start (a double ceil() would
     # drift on long texts); sequence() raises on start > stop with a

@@ -293,6 +293,9 @@ def epoch_shuffle(
     for c in (pos_col, shard_col):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists")
+    for c in ("__h", "__rn", "__off"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} is reserved by epoch_shuffle")
     if pos_col == shard_col:
         raise ValueError("pos_col and shard_col must differ")
     key_col = F.col(key) if isinstance(key, str) else key
@@ -306,10 +309,15 @@ def epoch_shuffle(
     ranked = sharded.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
         eager=False
     )
-    counts = sorted(
+    raw = [
         (r[0], r[1])
         for r in ranked.groupBy(shard_col).agg(F.max("__rn").alias("__n")).collect()
-    )
+    ]
+    if any(s is None for s, _ in raw):
+        # a NULL key hashes to NULL -> NULL shard; a total order over it
+        # would be arbitrary, so fail loudly instead of sorting None
+        raise ValueError("epoch_shuffle requires a non-null key")
+    counts = sorted(raw)
     offsets, cum = [], 0
     for s, n in counts:
         offsets.append((s, cum))

@@ -754,6 +754,13 @@ def test_epoch_shuffle(spark, docs, final_plan):
         epoch_shuffle(docs, "doc_id", pos_col="lang")
     with _pytest.raises(ValueError, match="must differ"):
         epoch_shuffle(docs, "doc_id", pos_col="p", shard_col="p")
+    with _pytest.raises(ValueError, match="reserved"):
+        epoch_shuffle(docs.withColumn("__h", F.lit(1)), "doc_id")
+    with _pytest.raises(ValueError, match="non-null key"):
+        nul = spark.createDataFrame(
+            [(1,), (None,)], schema="doc_id long"
+        )
+        epoch_shuffle(nul, "doc_id", n_shards=2)
 
 
 def test_ivf_4096_centroids_broadcast_kernel(spark):
@@ -1329,3 +1336,5 @@ def test_chunk_documents(spark, final_plan):
         chunk_documents(df, size=4, overlap=4)
     with _pytest.raises(ValueError, match="overlap must be"):
         chunk_documents(df, size=4, overlap=-1)
+    with _pytest.raises(ValueError, match="'pos' or 'col'"):
+        chunk_documents(df.withColumnRenamed("doc_id", "pos"), size=4, id_col="pos")
