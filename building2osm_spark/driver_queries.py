@@ -959,6 +959,41 @@ FROM starts
 """
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom tile-count pyramid (partitioning.tile_pyramid): per-
+    (z, tx, ty) point counts for zooms 0..10 over a quadtree on the
+    bench bbox. The corpus pays ONE shuffle — the finest-zoom groupBy —
+    and all coarser levels roll up from that tile table via exact
+    bit-shift parent ids (the 11-level explode runs on tile counts,
+    never on points), so level sums are consistent by construction.
+    The oracle re-derives the same floor/shift arithmetic; the bbox
+    spans are embedded as exact Python-repr double literals (a SQL
+    '0.4' is a DIFFERENT double than Python's 11.00-10.60)."""
+    from .operators.partitioning import tile_pyramid
+
+    return tile_pyramid(_points(spark, sf_dir), BBOX, 10)
+
+
+ORACLE_TILE_PYRAMID = f"""
+WITH pts AS ({{points}}),
+finest AS (
+  SELECT CAST(floor((lon - {BBOX[0]!r}) / CAST('{BBOX[2] - BBOX[0]!r}' AS DOUBLE)
+                    * 1024) AS BIGINT) AS x,
+         CAST(floor((lat - {BBOX[1]!r}) / CAST('{BBOX[3] - BBOX[1]!r}' AS DOUBLE)
+                    * 1024) AS BIGINT) AS y,
+         count(*) AS n
+  FROM pts
+  WHERE lon >= {BBOX[0]!r} AND lon < {BBOX[2]!r}
+    AND lat >= {BBOX[1]!r} AND lat < {BBOX[3]!r}
+  GROUP BY 1, 2
+),
+lv AS (SELECT unnest(generate_series(0, 10)) AS z, x, y, n FROM finest)
+SELECT CAST(z AS INT) AS z, x >> (10 - z) AS tx, y >> (10 - z) AS ty,
+       CAST(sum(n) AS BIGINT) AS n_points
+FROM lv GROUP BY 1, 2, 3
+""".format(points=_POINTS_SQL)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization + per-session rollup over the events
     table (operators/sessions.py): lag -> break flag -> running sum on
@@ -3249,6 +3284,7 @@ QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "bpe_pairs": q_bpe_pairs,
     "chunk_documents": q_chunk_documents,
+    "tile_pyramid": q_tile_pyramid,
     "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
     "exact_dedup": q_exact_dedup,
@@ -3330,6 +3366,7 @@ ORACLES = {
     "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "bpe_pairs": ORACLE_BPE_PAIRS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "tile_pyramid": ORACLE_TILE_PYRAMID,
     "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,
     "exact_dedup": ORACLE_EXACT_DEDUP,

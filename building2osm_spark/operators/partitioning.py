@@ -314,3 +314,58 @@ def uncompact_cover(
             ).alias(cell_col),
         )
     )
+
+
+def tile_pyramid(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    zmax: int,
+    *,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Multi-resolution tile-count pyramid — per-(z, tx, ty) point counts
+    for every zoom 0..zmax over a quadtree on ``bbox`` (the map-serving /
+    density-overview rollup of a tiling engine; half-open tiles, points
+    outside the bbox dropped).
+
+    Scale shape — the corpus pays exactly ONE shuffle: points aggregate
+    at the FINEST zoom first (map-side combinable; output ≤ 4^zmax tiles
+    and in practice ≤ one row per occupied tile), and every coarser level
+    rolls up from that TILE table — the (zmax+1)-level explode and the
+    second narrow shuffle run on tile counts, never on the corpus. Parent
+    tile ids are exact bit arithmetic (tx >> (zmax-z)), so level sums are
+    consistent by construction: level z holds exactly the level-zmax
+    counts merged 4-into-1, and level 0 is the global count.
+    """
+    if not 0 <= zmax <= 26:
+        raise ValueError(f"zmax must be in [0, 26], got {zmax}")
+    x0, y0, x1, y1 = bbox
+    if not (x1 > x0 and y1 > y0):
+        raise ValueError(f"degenerate bbox {bbox}")
+    n = 1 << zmax
+    fx = (F.col(lon) - F.lit(x0)) / F.lit(x1 - x0) * F.lit(n)
+    fy = (F.col(lat) - F.lit(y0)) / F.lit(y1 - y0) * F.lit(n)
+    finest = (
+        points.filter(
+            (F.col(lon) >= x0) & (F.col(lon) < x1)
+            & (F.col(lat) >= y0) & (F.col(lat) < y1)
+        )
+        .select(F.floor(fx).alias("__x"), F.floor(fy).alias("__y"))
+        .groupBy("__x", "__y")
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        finest.select(
+            F.explode(F.sequence(F.lit(0), F.lit(zmax))).alias("z"),
+            "__x", "__y", "__n",
+        )
+        .select(
+            F.col("z").cast("int").alias("z"),
+            F.expr(f"shiftright(__x, {zmax} - z)").alias("tx"),
+            F.expr(f"shiftright(__y, {zmax} - z)").alias("ty"),
+            F.col("__n"),
+        )
+        .groupBy("z", "tx", "ty")
+        .agg(F.sum("__n").alias("n_points"))
+    )

@@ -13,6 +13,7 @@ from building2osm_spark.operators.partitioning import (
     cell_histogram,
     partition_metrics,
     salted_repartition,
+    tile_pyramid,
 )
 from building2osm_spark.sources.checkpoint import SnapshotStore
 from building2osm_spark.sources import fixtures as FX
@@ -42,6 +43,57 @@ def test_adaptive_cells_bounds_population(spark, skewed_points):
     # every refined cell is under the target except resolution-floor cases
     over = [r for r in per_cell if r["count"] >= 500 * 0.95]
     assert len(over) <= 1
+
+
+def test_tile_pyramid(spark, skewed_points):
+    """Quadtree rollup: every level sums to the in-bbox total, parents
+    hold exactly their 4 children's sum, half-open edges, out-of-bbox
+    points dropped, z=0 is one global tile, no Python in the plan."""
+    bbox = (10.60, 59.85, 11.00, 60.05)
+    zmax = 6
+    out = tile_pyramid(skewed_points, bbox, zmax).collect()
+    levels = {}
+    for r in out:
+        levels.setdefault(r["z"], {})[(r["tx"], r["ty"])] = r["n_points"]
+    n_in = skewed_points.filter(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") < bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") < bbox[3])
+    ).count()
+    assert set(levels) == set(range(zmax + 1))
+    for z in range(zmax + 1):
+        assert sum(levels[z].values()) == n_in  # each level is a partition
+        for (tx, ty), cnt in levels[z].items():
+            assert 0 <= tx < (1 << z) and 0 <= ty < (1 << z)
+    assert levels[0] == {(0, 0): n_in}
+    # parent == sum of its children, level by level
+    for z in range(zmax):
+        for (tx, ty), cnt in levels[z].items():
+            kids = sum(
+                levels[z + 1].get((2 * tx + dx, 2 * ty + dy), 0)
+                for dx in (0, 1)
+                for dy in (0, 1)
+            )
+            assert kids == cnt, (z, tx, ty)
+
+    # half-open edges: a point exactly on the east/north bbox edge drops,
+    # on the west/south edge it lands in tile 0
+    edge = spark.createDataFrame(
+        [(1, 11.00, 59.90), (2, 10.70, 60.05), (3, 10.60, 59.85)],
+        "image_id long, lon double, lat double",
+    )
+    got = {
+        (r["z"], r["tx"], r["ty"]): r["n_points"]
+        for r in tile_pyramid(edge, bbox, 1).collect()
+    }
+    assert got == {(0, 0, 0): 1, (1, 0, 0): 1}
+
+    plan = tile_pyramid(skewed_points, bbox, zmax)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+    with pytest.raises(ValueError, match="zmax"):
+        tile_pyramid(skewed_points, bbox, 27)
+    with pytest.raises(ValueError, match="degenerate"):
+        tile_pyramid(skewed_points, (1.0, 2.0, 1.0, 3.0), 4)
 
 
 def test_salted_repartition_spreads_hot_cell(spark, skewed_points):
