@@ -994,6 +994,62 @@ FROM lv GROUP BY 1, 2, 3
 """.format(points=_POINTS_SQL)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioning diff (operators/diffs.snapshot_diff): two
+    deterministic views of the events table (old drops event_id%17==3;
+    new drops %13==5 and bumps cents by 1 where %11==0) diffed into
+    added/removed/changed/unchanged on a content digest. ONE full-outer
+    shuffle join carrying (key, digest) only — the payload never moves;
+    floats pre-rounded to cents longs so the digest has an exact SQL
+    twin. Rolled up per status with sum_keys pinning the exact row
+    sets."""
+    from .operators.diffs import snapshot_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    old = base.filter(F.col("event_id") % 17 != 3)
+    new = base.filter(F.col("event_id") % 13 != 5).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("event_id") % 11 == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    d = snapshot_diff(old, new, "event_id")
+    return d.groupBy("status").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("sum_keys")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+old AS (SELECT * FROM base WHERE event_id % 17 != 3),
+new AS (
+  SELECT event_id, user_id, event_type,
+         cents + CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS cents
+  FROM base WHERE event_id % 13 != 5
+),
+d AS (
+  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+         CASE WHEN o.event_id IS NULL THEN 'added'
+              WHEN n.event_id IS NULL THEN 'removed'
+              WHEN o.user_id IS NOT DISTINCT FROM n.user_id
+               AND o.event_type IS NOT DISTINCT FROM n.event_type
+               AND o.cents IS NOT DISTINCT FROM n.cents THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_keys
+FROM d GROUP BY status
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization + per-session rollup over the events
     table (operators/sessions.py): lag -> break flag -> running sum on
@@ -3285,6 +3341,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "chunk_documents": q_chunk_documents,
     "tile_pyramid": q_tile_pyramid,
+    "snapshot_diff": q_snapshot_diff,
     "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
     "exact_dedup": q_exact_dedup,
@@ -3367,6 +3424,7 @@ ORACLES = {
     "bpe_pairs": ORACLE_BPE_PAIRS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "tile_pyramid": ORACLE_TILE_PYRAMID,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,
     "exact_dedup": ORACLE_EXACT_DEDUP,

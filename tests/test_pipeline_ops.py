@@ -1338,3 +1338,67 @@ def test_chunk_documents(spark, final_plan):
         chunk_documents(df, size=4, overlap=-1)
     with _pytest.raises(ValueError, match="'pos' or 'col'"):
         chunk_documents(df.withColumnRenamed("doc_id", "pos"), size=4, id_col="pos")
+
+
+def test_snapshot_diff(spark, final_plan):
+    """Dataset-versioning diff: all four statuses, NULL-vs-marker
+    disambiguation, defaulted compare columns exclude keys, guards."""
+    import pytest as _pytest
+
+    from building2osm_spark.operators.diffs import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "b", 20),
+            (3, "c", 30),  # removed
+            (4, None, 40),  # null payload, unchanged
+            (5, "\x00\x1f", 50),  # separator/control bytes, changes to NULL
+        ],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),  # unchanged
+            (2, "b", 99),  # changed
+            (4, None, 40),  # unchanged (NULL == NULL payload)
+            (5, None, 50),  # changed: NULL vs a control-byte STRING must differ
+            (6, "f", 60),  # added
+        ],
+        "k long, s string, v long",
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "changed",
+        6: "added",
+    }
+    # explicit compare set: only s -> row 2 becomes unchanged
+    got_s = {
+        r.k: r.status
+        for r in snapshot_diff(old, new, "k", compare_cols=["s"]).collect()
+    }
+    assert got_s[2] == "unchanged" and got_s[5] == "changed"
+
+    # boundary-shift attack: ("a<SEP>b","c") vs ("a","b<SEP>c") would
+    # concat identically without the length prefixes -> must be changed
+    o2 = spark.createDataFrame([(1, "a\x1fb", "c")], "k long, s string, t string")
+    n2 = spark.createDataFrame([(1, "a", "b\x1fc")], "k long, s string, t string")
+    assert [r.status for r in snapshot_diff(o2, n2, "k").collect()] == ["changed"]
+
+    final = final_plan(snapshot_diff(old, new, "k"))
+    assert "Python" not in final
+
+    with _pytest.raises(ValueError, match="missing key"):
+        snapshot_diff(old, new.withColumnRenamed("k", "kk"), "k")
+    with _pytest.raises(ValueError, match="no columns to compare"):
+        snapshot_diff(old.select("k"), new.select("k"), "k")
+    with _pytest.raises(ValueError, match="missing compare"):
+        snapshot_diff(old, new, "k", compare_cols=["nope"])
+    with _pytest.raises(ValueError, match="at least one key"):
+        snapshot_diff(old, new, [])
+    with _pytest.raises(ValueError, match="collides"):
+        snapshot_diff(old, new, "k", status_col="k")
