@@ -994,6 +994,49 @@ FROM lv GROUP BY 1, 2, 3
 """.format(points=_POINTS_SQL)
 
 
+def q_tile_quadkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey-indexed tile pyramid (functions/columns.quadkey_col over
+    partitioning.tile_pyramid at zmax=6): the Bing quadkey's prefix
+    property makes ONE sorted/partitioned tile layout range-scannable
+    at every zoom (a tile's key prefixes all its descendants'). The
+    digits are a pure Catalyst SQL-lambda fold — no Python; the oracle
+    re-derives them with list_transform."""
+    from .functions.columns import quadkey_col
+    from .operators.partitioning import tile_pyramid
+
+    pyr = tile_pyramid(_points(spark, sf_dir), BBOX, 6)
+    return pyr.select(
+        "z", "tx", "ty", "n_points", quadkey_col("tx", "ty", "z").alias("quadkey")
+    )
+
+
+ORACLE_TILE_QUADKEYS = f"""
+WITH pts AS ({{points}}),
+finest AS (
+  SELECT CAST(floor((lon - {BBOX[0]!r}) / CAST('{BBOX[2] - BBOX[0]!r}' AS DOUBLE)
+                    * 64) AS BIGINT) AS x,
+         CAST(floor((lat - {BBOX[1]!r}) / CAST('{BBOX[3] - BBOX[1]!r}' AS DOUBLE)
+                    * 64) AS BIGINT) AS y,
+         count(*) AS n
+  FROM pts
+  WHERE lon >= {BBOX[0]!r} AND lon < {BBOX[2]!r}
+    AND lat >= {BBOX[1]!r} AND lat < {BBOX[3]!r}
+  GROUP BY 1, 2
+),
+lv AS (SELECT unnest(generate_series(0, 6)) AS z, x, y, n FROM finest),
+pyr AS (
+  SELECT CAST(z AS INT) AS z, x >> (6 - z) AS tx, y >> (6 - z) AS ty,
+         CAST(sum(n) AS BIGINT) AS n_points
+  FROM lv GROUP BY 1, 2, 3
+)
+SELECT z, tx, ty, n_points,
+       coalesce(array_to_string(list_transform(generate_series(1, z), i ->
+         CAST(((ty >> (z - i)) & 1) * 2 + ((tx >> (z - i)) & 1) AS VARCHAR)),
+         ''), '') AS quadkey
+FROM pyr
+""".format(points=_POINTS_SQL)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioning diff (operators/diffs.snapshot_diff): two
     deterministic views of the events table (old drops event_id%17==3;
@@ -3341,6 +3384,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "chunk_documents": q_chunk_documents,
     "tile_pyramid": q_tile_pyramid,
+    "tile_quadkeys": q_tile_quadkeys,
     "snapshot_diff": q_snapshot_diff,
     "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
@@ -3424,6 +3468,7 @@ ORACLES = {
     "bpe_pairs": ORACLE_BPE_PAIRS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "tile_pyramid": ORACLE_TILE_PYRAMID,
+    "tile_quadkeys": ORACLE_TILE_QUADKEYS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,

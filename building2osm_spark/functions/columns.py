@@ -304,3 +304,21 @@ def building_retag_merge_col(building: Column, area: Column, type_tag: Column) -
         .when((b1 == "barn") & (area < 100), F.lit("farm_auxiliary"))
         .otherwise(b1)
     )
+
+
+def quadkey_col(tx: str, ty: str, z: str) -> Column:
+    """Bing-style quadkey of tile column (tx, ty) at zoom column z — the
+    string key whose PREFIX property makes multi-zoom tile tables
+    range-scannable (a tile's quadkey is a prefix of all its
+    descendants', so one sorted/partitioned layout serves every zoom
+    level). Digit i (MSB first) = 2*bit(ty, z-i) + bit(tx, z-i); z=0 is
+    the empty string. Args are COLUMN NAMES (the digits are a SQL
+    lambda fold — pure Catalyst, no Python)."""
+    digits = (
+        f"aggregate(sequence(1, {z}), '', (acc, i) -> concat(acc, "
+        f"CAST(((({ty}) >> (({z}) - i)) & 1) * 2 + ((({tx}) >> (({z}) - i)) & 1)"
+        f" AS STRING)))"
+    )
+    # sequence(1, 0) yields a DESCENDING [1,0] (not an error); the z=0
+    # guard must therefore select the empty string explicitly
+    return F.when(F.col(z) > 0, F.expr(digits)).otherwise(F.lit(""))

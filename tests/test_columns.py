@@ -208,3 +208,40 @@ def test_in_bbox_col_twins_match_numpy(spark):
         assert [bool(r[name]) for r in got] == list(map(bool, want[name])), name
     # the conventions genuinely differ on the edge rows
     assert [bool(r["closed"]) for r in got] != [bool(r["strict"]) for r in got]
+
+
+def test_quadkey_col(spark):
+    """Bing quadkey: known digit examples, prefix property along the
+    pyramid, z=0 empty, pure Catalyst (no Python in the plan)."""
+    from building2osm_spark.functions import columns as COL
+
+    rows = [
+        (3, 5, 3, "213"),  # canonical Bing example: x=3,y=5,z=3
+        (0, 0, 1, "0"),
+        (1, 0, 1, "1"),
+        (0, 1, 1, "2"),
+        (1, 1, 1, "3"),
+        (0, 0, 0, ""),
+        (35210, 21493, 16, None),  # checked against the bit definition below
+    ]
+    df = spark.createDataFrame(
+        [(tx, ty, z) for tx, ty, z, _ in rows], "tx long, ty long, z int"
+    )
+    out = [r.qk for r in df.select(COL.quadkey_col("tx", "ty", "z").alias("qk")).collect()]
+    for (tx, ty, z, want), got in zip(rows, out):
+        if want is None:
+            want = "".join(
+                str(2 * ((ty >> (z - i)) & 1) + ((tx >> (z - i)) & 1))
+                for i in range(1, z + 1)
+            )
+        assert got == want, (tx, ty, z, got, want)
+    # prefix property: parent's quadkey prefixes the child's
+    child = df.select(COL.quadkey_col("tx", "ty", "z").alias("qk"))
+    parent = df.selectExpr(
+        "shiftright(tx, 1) AS tx", "shiftright(ty, 1) AS ty",
+        "greatest(z - 1, 0) AS z",
+    ).select(COL.quadkey_col("tx", "ty", "z").alias("qk"))
+    for c, p in zip([r.qk for r in child.collect()], [r.qk for r in parent.collect()]):
+        assert c.startswith(p), (c, p)
+    plan = child._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
