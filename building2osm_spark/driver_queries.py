@@ -1037,6 +1037,59 @@ FROM pyr
 """.format(points=_POINTS_SQL)
 
 
+def q_tile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial-diversity sampling (the geographic rebalancing step of a
+    multimodal training pipeline — dense cities must not drown the
+    corpus): assign each point its zoom-4 tile with the tile_pyramid
+    floor arithmetic (256 tiles, so the cap BINDS at the driver's
+    sf0.01 — zoom 6 left every tile under the cap), then keep at most
+    5 rows per tile by ascending
+    content hash (sampling.stratified_cap: ONE strata shuffle,
+    deterministic under any partitioning). Per-tile rollup pins the
+    exact kept set via sum_ids."""
+    from .operators.sampling import stratified_cap
+
+    pts = _points(spark, sf_dir)
+    n = 16
+    fx = (F.col("lon") - F.lit(BBOX[0])) / F.lit(BBOX[2] - BBOX[0]) * F.lit(n)
+    fy = (F.col("lat") - F.lit(BBOX[1])) / F.lit(BBOX[3] - BBOX[1]) * F.lit(n)
+    tiled = pts.filter(
+        (F.col("lon") >= BBOX[0]) & (F.col("lon") < BBOX[2])
+        & (F.col("lat") >= BBOX[1]) & (F.col("lat") < BBOX[3])
+    ).select("point_id", F.floor(fx).alias("tx"), F.floor(fy).alias("ty"))
+    kept = stratified_cap(tiled, ["tx", "ty"], cap=5, key="point_id", salt="ts")
+    return kept.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_kept"), F.sum("point_id").alias("sum_ids")
+    )
+
+
+ORACLE_TILE_SAMPLE = f"""
+WITH pts AS ({{points}}),
+tiled AS (
+  SELECT point_id,
+         CAST(floor((lon - {BBOX[0]!r}) / CAST('{BBOX[2] - BBOX[0]!r}' AS DOUBLE)
+                    * 16) AS BIGINT) AS tx,
+         CAST(floor((lat - {BBOX[1]!r}) / CAST('{BBOX[3] - BBOX[1]!r}' AS DOUBLE)
+                    * 16) AS BIGINT) AS ty
+  FROM pts
+  WHERE lon >= {BBOX[0]!r} AND lon < {BBOX[2]!r}
+    AND lat >= {BBOX[1]!r} AND lat < {BBOX[3]!r}
+),
+ranked AS (
+  SELECT tx, ty, point_id,
+         row_number() OVER (
+           PARTITION BY tx, ty
+           ORDER BY CAST('0x' || substring(
+                      md5(CAST(point_id AS VARCHAR) || 'ts'), 1, 15) AS UBIGINT),
+                    point_id) AS rn
+  FROM tiled
+)
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(point_id) AS BIGINT) AS sum_ids
+FROM ranked WHERE rn <= 5 GROUP BY tx, ty
+""".format(points=_POINTS_SQL)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioning diff (operators/diffs.snapshot_diff): two
     deterministic views of the events table (old drops event_id%17==3;
@@ -3385,6 +3438,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "tile_pyramid": q_tile_pyramid,
     "tile_quadkeys": q_tile_quadkeys,
+    "tile_sample": q_tile_sample,
     "snapshot_diff": q_snapshot_diff,
     "distinctive_terms": q_distinctive_terms,
     "json_extract": q_json_extract,
@@ -3469,6 +3523,7 @@ ORACLES = {
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "tile_pyramid": ORACLE_TILE_PYRAMID,
     "tile_quadkeys": ORACLE_TILE_QUADKEYS,
+    "tile_sample": ORACLE_TILE_SAMPLE,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
     "json_extract": ORACLE_JSON,
