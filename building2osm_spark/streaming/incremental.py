@@ -307,3 +307,48 @@ def incremental_conflate(
         pre_commit=pre_commit,
         post_commit=post_commit,
     )
+
+
+def incremental_tile_counts(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    store: SnapshotStore,
+    stage: str,
+    *,
+    checkpoint_dir: str,
+    bbox: tuple[float, float, float, float],
+    zmax: int,
+    key_col: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    fmt: str = "parquet",
+    expire_keep: int | None = None,
+) -> DataFrame:
+    """Resumable multi-zoom tile counts over a directory-fed point/image
+    stream: drain all available files (Trigger.AvailableNow), commit
+    only rows whose key is NEW (the SnapshotStore anti-join — replayed
+    or overlapping input files cannot double-count, the property a
+    plain streaming count aggregation does not give you across
+    re-feeds), then roll the committed snapshot up with tile_pyramid.
+
+    The commit stores raw (key, lon, lat), so ``bbox``/``zmax`` can
+    change between reads without invalidating the snapshot chain; the
+    rollup inherits tile_pyramid's one-corpus-shuffle shape, and the
+    snapshot manifests carry the per-partition lineage + row-count
+    metrics. Returns the (z, tx, ty, n_points) pyramid over everything
+    committed so far (empty with the standard schema before the first
+    commit)."""
+    from ..operators.partitioning import tile_pyramid
+
+    run_available_now(
+        spark, input_dir, schema, store, stage, key_col,
+        checkpoint_dir=checkpoint_dir, fmt=fmt, expire_keep=expire_keep,
+        transform=lambda df: df.select(key_col, lon, lat),
+    )
+    committed = store.read(spark, stage)
+    if committed is None:
+        return spark.createDataFrame(
+            [], "z int, tx bigint, ty bigint, n_points bigint"
+        )
+    return tile_pyramid(committed, bbox, zmax, lon=lon, lat=lat)

@@ -54,6 +54,57 @@ def test_streaming_incremental_assignment(spark, tmp_path):
     assert len(m["inputs"]) == 1
 
 
+def test_incremental_tile_counts(spark, tmp_path):
+    """Resumable tile pyramid: counts equal the batch pyramid over the
+    DISTINCT committed keys after overlapping re-feeds (the anti-join
+    is what makes streaming counts idempotent), and a re-run with no
+    new files changes nothing."""
+    from building2osm_spark.operators.partitioning import tile_pyramid
+    from building2osm_spark.streaming.incremental import incremental_tile_counts
+
+    bbox, zmax = (10.60, 59.85, 11.00, 60.05), 5
+    in_dir = str(tmp_path / "in")
+    schema = "image_id string, lon double, lat double"
+    store = SnapshotStore(str(tmp_path / "snap"))
+
+    pdf = FX.images_pdf(300, with_loc=True)[["image_id", "lon", "lat"]]
+    spark.createDataFrame(pdf.iloc[:200]).write.parquet(in_dir)
+
+    def counts(df):
+        return {(r.z, r.tx, r.ty): r.n_points for r in df.collect()}
+
+    got1 = counts(
+        incremental_tile_counts(
+            spark, in_dir, schema, store, "tiles",
+            checkpoint_dir=str(tmp_path / "ckpt"), bbox=bbox, zmax=zmax,
+        )
+    )
+    want1 = counts(tile_pyramid(spark.createDataFrame(pdf.iloc[:200]), bbox, zmax))
+    assert got1 == want1
+
+    # overlapping re-feed: rows 150..300 — the 50 already-committed ids
+    # must not double-count
+    spark.createDataFrame(pdf.iloc[150:]).write.mode("append").parquet(in_dir)
+    got2 = counts(
+        incremental_tile_counts(
+            spark, in_dir, schema, store, "tiles",
+            checkpoint_dir=str(tmp_path / "ckpt"), bbox=bbox, zmax=zmax,
+        )
+    )
+    want2 = counts(tile_pyramid(spark.createDataFrame(pdf), bbox, zmax))
+    assert got2 == want2
+    assert sum(n for (z, _, _), n in got2.items() if z == 0) == 300
+
+    # idle re-run: nothing new, counts unchanged
+    got3 = counts(
+        incremental_tile_counts(
+            spark, in_dir, schema, store, "tiles",
+            checkpoint_dir=str(tmp_path / "ckpt"), bbox=bbox, zmax=zmax,
+        )
+    )
+    assert got3 == got2
+
+
 def test_incremental_conflate_resume(spark, tmp_path):
     """Directory-fed conflation commits each import ref's action row
     exactly once across batches/replays, and the committed matches equal
