@@ -977,10 +977,10 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TILE_PYRAMID = f"""
 WITH pts AS ({{points}}),
 finest AS (
-  SELECT CAST(floor((lon - {BBOX[0]!r}) / CAST('{BBOX[2] - BBOX[0]!r}' AS DOUBLE)
-                    * 1024) AS BIGINT) AS x,
-         CAST(floor((lat - {BBOX[1]!r}) / CAST('{BBOX[3] - BBOX[1]!r}' AS DOUBLE)
-                    * 1024) AS BIGINT) AS y,
+  SELECT least(greatest(CAST(floor((lon - {BBOX[0]!r}) / CAST('{BBOX[2] - BBOX[0]!r}' AS DOUBLE)
+                    * 1024) AS BIGINT), 0), 1023) AS x,
+         least(greatest(CAST(floor((lat - {BBOX[1]!r}) / CAST('{BBOX[3] - BBOX[1]!r}' AS DOUBLE)
+                    * 1024) AS BIGINT), 0), 1023) AS y,
          count(*) AS n
   FROM pts
   WHERE lon >= {BBOX[0]!r} AND lon < {BBOX[2]!r}
@@ -1013,10 +1013,10 @@ def q_tile_quadkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TILE_QUADKEYS = f"""
 WITH pts AS ({{points}}),
 finest AS (
-  SELECT CAST(floor((lon - {BBOX[0]!r}) / CAST('{BBOX[2] - BBOX[0]!r}' AS DOUBLE)
-                    * 64) AS BIGINT) AS x,
-         CAST(floor((lat - {BBOX[1]!r}) / CAST('{BBOX[3] - BBOX[1]!r}' AS DOUBLE)
-                    * 64) AS BIGINT) AS y,
+  SELECT least(greatest(CAST(floor((lon - {BBOX[0]!r}) / CAST('{BBOX[2] - BBOX[0]!r}' AS DOUBLE)
+                    * 64) AS BIGINT), 0), 63) AS x,
+         least(greatest(CAST(floor((lat - {BBOX[1]!r}) / CAST('{BBOX[3] - BBOX[1]!r}' AS DOUBLE)
+                    * 64) AS BIGINT), 0), 63) AS y,
          count(*) AS n
   FROM pts
   WHERE lon >= {BBOX[0]!r} AND lon < {BBOX[2]!r}
@@ -1040,23 +1040,18 @@ FROM pyr
 def q_tile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial-diversity sampling (the geographic rebalancing step of a
     multimodal training pipeline — dense cities must not drown the
-    corpus): assign each point its zoom-4 tile with the tile_pyramid
-    floor arithmetic (256 tiles, so the cap BINDS at the driver's
+    corpus): assign each point its zoom-4 tile (partitioning.tile_assign
+    — the shared filter+floor+clamp tiling convention) (256 tiles, so the cap BINDS at the driver's
     sf0.01 — zoom 6 left every tile under the cap), then keep at most
     5 rows per tile by ascending
     content hash (sampling.stratified_cap: ONE strata shuffle,
     deterministic under any partitioning). Per-tile rollup pins the
     exact kept set via sum_ids."""
+    from .operators.partitioning import tile_assign
     from .operators.sampling import stratified_cap
 
     pts = _points(spark, sf_dir)
-    n = 16
-    fx = (F.col("lon") - F.lit(BBOX[0])) / F.lit(BBOX[2] - BBOX[0]) * F.lit(n)
-    fy = (F.col("lat") - F.lit(BBOX[1])) / F.lit(BBOX[3] - BBOX[1]) * F.lit(n)
-    tiled = pts.filter(
-        (F.col("lon") >= BBOX[0]) & (F.col("lon") < BBOX[2])
-        & (F.col("lat") >= BBOX[1]) & (F.col("lat") < BBOX[3])
-    ).select("point_id", F.floor(fx).alias("tx"), F.floor(fy).alias("ty"))
+    tiled = tile_assign(pts, BBOX, 4).select("point_id", "tx", "ty")
     kept = stratified_cap(tiled, ["tx", "ty"], cap=5, key="point_id", salt="ts")
     return kept.groupBy("tx", "ty").agg(
         F.count("*").alias("n_kept"), F.sum("point_id").alias("sum_ids")
@@ -1067,10 +1062,10 @@ ORACLE_TILE_SAMPLE = f"""
 WITH pts AS ({{points}}),
 tiled AS (
   SELECT point_id,
-         CAST(floor((lon - {BBOX[0]!r}) / CAST('{BBOX[2] - BBOX[0]!r}' AS DOUBLE)
-                    * 16) AS BIGINT) AS tx,
-         CAST(floor((lat - {BBOX[1]!r}) / CAST('{BBOX[3] - BBOX[1]!r}' AS DOUBLE)
-                    * 16) AS BIGINT) AS ty
+         least(greatest(CAST(floor((lon - {BBOX[0]!r}) / CAST('{BBOX[2] - BBOX[0]!r}' AS DOUBLE)
+                    * 16) AS BIGINT), 0), 15) AS tx,
+         least(greatest(CAST(floor((lat - {BBOX[1]!r}) / CAST('{BBOX[3] - BBOX[1]!r}' AS DOUBLE)
+                    * 16) AS BIGINT), 0), 15) AS ty
   FROM pts
   WHERE lon >= {BBOX[0]!r} AND lon < {BBOX[2]!r}
     AND lat >= {BBOX[1]!r} AND lat < {BBOX[3]!r}

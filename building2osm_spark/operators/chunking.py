@@ -44,6 +44,11 @@ def chunk_documents(
         # posexplode's output names; an input column so named would make
         # the projection ambiguous
         raise ValueError("id_col/text_col must not be named 'pos' or 'col'")
+    if id_col in ("chunk_idx", "start", "chunk"):
+        # would silently duplicate an output column name
+        raise ValueError(
+            "id_col must not be named 'chunk_idx', 'start' or 'chunk'"
+        )
     stride = size - overlap
     # exact integer ceil-div for the last start (a double ceil() would
     # drift on long texts); sequence() raises on start > stop with a

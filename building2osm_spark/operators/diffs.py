@@ -80,6 +80,9 @@ def snapshot_diff(
             raise ValueError(f"{side} side is missing compare columns {missing}")
     if status_col in keys:
         raise ValueError(f"status column {status_col!r} collides with a key")
+    for c in ("__d_old", "__d_new"):
+        if c in keys or c == status_col:
+            raise ValueError(f"column {c!r} is reserved by snapshot_diff")
     o = old.select(*keys, _digest(compare_cols).alias("__d_old"))
     n = new.select(*keys, _digest(compare_cols).alias("__d_new"))
     joined = o.join(n, on=keys, how="full_outer")

@@ -316,6 +316,46 @@ def uncompact_cover(
     )
 
 
+def tile_assign(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    zmax: int,
+    *,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-point finest-zoom tile assignment on the half-open ``bbox`` —
+    THE single tiling convention (filter + floor + clamp) shared by
+    tile_pyramid and the tile-sampling queries, so an edge-behavior fix
+    lands in one place. Appends (tx, ty) to the surviving rows.
+
+    The clamp matters: for extreme bbox/longitude combinations the span
+    ``x1 - x0`` can round UP, so a point strictly inside the half-open
+    bbox computes ``fx == n`` by float rounding (e.g. bbox x of
+    (-100, 1): ``nextafter(1, -inf) - (-100)`` rounds to exactly 101.0)
+    — least/greatest pins it to the edge tile, the same fix
+    ``cell_id_col`` carries."""
+    if not 0 <= zmax <= 26:
+        raise ValueError(f"zmax must be in [0, 26], got {zmax}")
+    x0, y0, x1, y1 = bbox
+    if not (x1 > x0 and y1 > y0):
+        raise ValueError(f"degenerate bbox {bbox}")
+    for c in ("tx", "ty"):
+        if c in points.columns:
+            raise ValueError(f"column {c!r} is reserved by tile_assign")
+    n = 1 << zmax
+    fx = (F.col(lon) - F.lit(x0)) / F.lit(x1 - x0) * F.lit(n)
+    fy = (F.col(lat) - F.lit(y0)) / F.lit(y1 - y0) * F.lit(n)
+
+    def clamp(f):
+        return F.least(F.greatest(F.floor(f), F.lit(0)), F.lit(n - 1))
+
+    return points.filter(
+        (F.col(lon) >= x0) & (F.col(lon) < x1)
+        & (F.col(lat) >= y0) & (F.col(lat) < y1)
+    ).withColumns({"tx": clamp(fx), "ty": clamp(fy)})
+
+
 def tile_pyramid(
     points: DataFrame,
     bbox: tuple[float, float, float, float],
@@ -338,20 +378,9 @@ def tile_pyramid(
     consistent by construction: level z holds exactly the level-zmax
     counts merged 4-into-1, and level 0 is the global count.
     """
-    if not 0 <= zmax <= 26:
-        raise ValueError(f"zmax must be in [0, 26], got {zmax}")
-    x0, y0, x1, y1 = bbox
-    if not (x1 > x0 and y1 > y0):
-        raise ValueError(f"degenerate bbox {bbox}")
-    n = 1 << zmax
-    fx = (F.col(lon) - F.lit(x0)) / F.lit(x1 - x0) * F.lit(n)
-    fy = (F.col(lat) - F.lit(y0)) / F.lit(y1 - y0) * F.lit(n)
     finest = (
-        points.filter(
-            (F.col(lon) >= x0) & (F.col(lon) < x1)
-            & (F.col(lat) >= y0) & (F.col(lat) < y1)
-        )
-        .select(F.floor(fx).alias("__x"), F.floor(fy).alias("__y"))
+        tile_assign(points, bbox, zmax, lon=lon, lat=lat)
+        .select(F.col("tx").alias("__x"), F.col("ty").alias("__y"))
         .groupBy("__x", "__y")
         .agg(F.count("*").alias("__n"))
     )

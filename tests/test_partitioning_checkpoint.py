@@ -95,6 +95,22 @@ def test_tile_pyramid(spark, skewed_points):
     with pytest.raises(ValueError, match="degenerate"):
         tile_pyramid(skewed_points, (1.0, 2.0, 1.0, 3.0), 4)
 
+    # float-rounding clamp: with bbox x of (-100, 1) the span rounds UP,
+    # so lon = nextafter(1, -inf) (strictly inside the half-open bbox)
+    # computes fx == n exactly — the clamp must pin it to the edge tile
+    import math
+
+    from building2osm_spark.operators.partitioning import tile_assign
+
+    edge_pt = spark.createDataFrame(
+        [(1, math.nextafter(1.0, -math.inf), 0.5)],
+        "image_id long, lon double, lat double",
+    )
+    r = tile_assign(edge_pt, (-100.0, 0.0, 1.0, 1.0), 4).collect()
+    assert len(r) == 1 and r[0]["tx"] == 15  # not the phantom tile 16
+    with pytest.raises(ValueError, match="reserved"):
+        tile_assign(edge_pt.withColumn("tx", F.lit(1)), bbox, 4)
+
 
 def test_salted_repartition_spreads_hot_cell(spark, skewed_points):
     with_cell = skewed_points.withColumn(

@@ -1338,6 +1338,8 @@ def test_chunk_documents(spark, final_plan):
         chunk_documents(df, size=4, overlap=-1)
     with _pytest.raises(ValueError, match="'pos' or 'col'"):
         chunk_documents(df.withColumnRenamed("doc_id", "pos"), size=4, id_col="pos")
+    with _pytest.raises(ValueError, match="chunk_idx"):
+        chunk_documents(df.withColumnRenamed("doc_id", "chunk"), size=4, id_col="chunk")
 
 
 def test_snapshot_diff(spark, final_plan):
@@ -1402,3 +1404,9 @@ def test_snapshot_diff(spark, final_plan):
         snapshot_diff(old, new, [])
     with _pytest.raises(ValueError, match="collides"):
         snapshot_diff(old, new, "k", status_col="k")
+    with _pytest.raises(ValueError, match="reserved"):
+        snapshot_diff(
+            old.withColumnRenamed("k", "__d_old"),
+            new.withColumnRenamed("k", "__d_old"),
+            "__d_old",
+        )
