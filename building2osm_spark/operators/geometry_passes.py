@@ -55,6 +55,22 @@ def _explode_vertices(df: DataFrame, include_closing: bool) -> DataFrame:
 
 _CC_DRIVER_MAX = 1_000_000  # vertex rows; ~50 MB collected
 
+# Rows per task for the grouped Python-kernel repartition. The kernel is
+# compute-bound (~1 ms/building of pure-Python parity kernel), not
+# byte-bound (~100 B/row of packed geometry), so AQE's byte-based
+# partition coalescing is the wrong sizer here: at 100k fixture buildings
+# it collapsed the ~2 MB component shuffle to 2 tasks and ran 25k
+# kernel rows on 2 of 32 cores (the round-5 rectify_100k 3.5→9.5 s
+# regression). Deriving N from the row count keeps both regimes right:
+# a 200-building municipality stays a single task, a 100k run fans out
+# to the session's full shuffle parallelism.
+_KERNEL_ROWS_PER_TASK = 256
+
+
+def _kernel_partitions(spark, n_rows: int) -> int:
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(shuffle_n, n_rows // _KERNEL_ROWS_PER_TASK + 1))
+
 
 def connected_components(df: DataFrame, max_iter: int = 20) -> DataFrame:
     """(ref, component) via shared-vertex connectivity.
@@ -187,14 +203,22 @@ def _grouped_rectify_mapper(batches):
         )
 
 
-def _rectify_components(grouped_with_comp: DataFrame) -> DataFrame:
-    """(…, component) → rectified rows; component-clustered mapInPandas."""
-    # no explicit partition count: RepartitionByExpression without a
-    # user-specified N stays AQE-coalescible — a 200-building municipality
-    # collapses to 1-2 tasks while a 100k run keeps full parallelism
-    # (coalescePartitions.parallelismFirst=true respects defaultParallelism)
+def _rectify_components(
+    grouped_with_comp: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """(…, component) → rectified rows; component-clustered mapInPandas.
+
+    num_partitions sizes the component shuffle for the compute-bound
+    kernel (see _KERNEL_ROWS_PER_TASK); when the caller does not know the
+    row count, fall back to the session's shuffle parallelism — NOT an
+    AQE-coalescible keyless repartition, which sizes by bytes and
+    serializes the Python kernel onto 1-2 cores for compact geometry."""
+    if num_partitions is None:
+        num_partitions = int(
+            grouped_with_comp.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     return (
-        grouped_with_comp.repartition("component")
+        grouped_with_comp.repartition(num_partitions, "component")
         .sortWithinPartitions("component", "ref")
         .mapInPandas(_grouped_rectify_mapper, schema=_RECTIFY_SCHEMA)
     )
@@ -260,7 +284,12 @@ def rectify(df: DataFrame) -> DataFrame:
         _rectify_singles_kernel, schema=_RECTIFY_SCHEMA
     )
     comps = connected_components(grouped)
-    grouped_out = _rectify_components(grouped.join(comps, "ref"))
+    # comps is materialized (driver-built or localCheckpointed), so the
+    # count is free — it sizes the kernel shuffle by rows, not bytes
+    grouped_out = _rectify_components(
+        grouped.join(comps, "ref"),
+        num_partitions=_kernel_partitions(df.sparkSession, comps.count()),
+    )
     return singles_out.unionByName(grouped_out)
 
 
@@ -540,6 +569,7 @@ def rectify_and_simplify(df: DataFrame) -> DataFrame:
                         r0, r1 = r1, r0
                     parent[r1] = r0
         shared_sets.unpersist()
+        n_grouped = len(seen)
         comps = F.broadcast(
             spark.createDataFrame(
                 [(ref, find(ref)) for ref in sorted(seen)],
@@ -551,6 +581,7 @@ def rectify_and_simplify(df: DataFrame) -> DataFrame:
             F.explode("__refs").alias("ref")
         ).distinct()
         comps = connected_components(df.join(shared_refs, "ref", "left_semi"))
+        n_grouped = comps.count()  # materialized — free
         shared_sets.unpersist()
 
     singles = df.join(comps, "ref", "left_anti")
@@ -561,8 +592,9 @@ def rectify_and_simplify(df: DataFrame) -> DataFrame:
     )
     grouped_out = (
         grouped.select("ref", "geometry", "component")
-        # AQE-coalescible (no explicit N) — see _rectify_components
-        .repartition("component")
+        # row-count-derived N (see _KERNEL_ROWS_PER_TASK): a village stays
+        # one task, a 100k run keeps full kernel parallelism
+        .repartition(_kernel_partitions(spark, n_grouped), "component")
         .sortWithinPartitions("component", "ref")
         .mapInPandas(_grouped_fused_mapper, schema=_REMOVE_SCHEMA)
     )
