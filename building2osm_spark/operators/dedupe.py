@@ -125,6 +125,83 @@ def _shingle_bases(
     )
 
 
+def _word_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __hs array<long>) per-word xxhash64 mod the Mersenne prime —
+    the input of the IN-KERNEL sliding polynomial (_poly_windows_np).
+
+    Round-6 measurement: the JVM `transform(sequence(...), i -> poly)`
+    shingle polynomial in _shingle_bases costs ~2.6 s of the 3.35 s scan
+    floor at 500k docs (k=8) — Catalyst evaluates ~k element_at + mul +
+    mod steps per window per document interpreted-per-element, while the
+    word hashing itself is only ~0.76 s. Shipping the word-hash arrays to
+    the Arrow kernel and running the polynomial as k vectorized numpy
+    passes over the batch's flat values buffer computes identical values
+    at a fraction of the cost (guide §4.2: hand whole batches to
+    vectorized native code). md5 keeps the JVM string path (its cost IS
+    the md5 of shingle strings — nothing to vectorize in the kernel)."""
+    df = df.filter(F.col(text_col).isNotNull())
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(split(lower({text_col}), '\\\\s+'),"
+            f" w -> pmod(xxhash64(w), {_MERSENNE}))"
+        ).alias("__hs"),
+    )
+
+
+def _poly_windows_np(flat, lens, k: int):
+    """Vectorized per-document sliding k-polynomial over the concatenated
+    word-hash arrays of one Arrow batch (flat int64 values + per-doc
+    lens). Matches _shingle_bases exactly: n-k+1 window polynomials
+    (acc·1000003 + h mod M, acc from 0) when n >= k, else ONE whole-doc
+    Horner fold. Returns (bases_flat, out_lens).
+
+    The polynomial runs as k vectorized multiply-add-mod passes over the
+    WHOLE batch at once; per-doc boundaries are enforced afterwards by
+    masking window positions whose start and end fall in different
+    documents. acc < M = 2^31 keeps acc·1000003 < 2^51 — int64-safe,
+    same bound as the JVM form."""
+    n_docs = lens.size
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    out_lens = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+    out = np.empty(int(out_lens.sum()), dtype=np.int64)
+    W = flat.size - k + 1
+    if W > 0:
+        b = np.zeros(W, dtype=np.int64)
+        for j in range(k):
+            np.multiply(b, 1000003, out=b)
+            np.add(b, flat[j:j + W], out=b)
+            np.mod(b, _MERSENNE, out=b)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        valid = doc_of[:W] == doc_of[k - 1:]
+    else:
+        b = np.empty(0, dtype=np.int64)
+        valid = np.empty(0, dtype=bool)
+    long_doc = lens >= k
+    out_doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), out_lens)
+    out_is_long = long_doc[out_doc_of]
+    out[out_is_long] = b[valid]
+    for d in np.flatnonzero(~long_doc):  # short docs: rare, loop is fine
+        acc = 0
+        for x in flat[starts[d]:starts[d] + lens[d]]:
+            acc = (acc * 1000003 + int(x)) % _MERSENNE
+        out[out_doc_of == d] = acc
+    return out, out_lens
+
+
+def _flat_lists(batch_col):
+    """(flat int64 values, per-row lens) of an Arrow list column —
+    flatten()/value_lengths() respect slice offsets (see sig_kernel)."""
+    flat = batch_col.flatten().to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+    lens = batch_col.value_lengths().to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+    return flat, lens
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -175,14 +252,23 @@ def minhash_signatures(
     Both kernels accept both base hashes (the kernel only sees bases).
     """
     a, b = _hash_params(n_hashes, seed)
-    # NULL text is no document: _shingle_bases drops it up front (the md5
-    # shingle builder would otherwise hash NULL as '' via concat_ws's
-    # null-skipping and pair every NULL doc with every empty doc)
-    with_bases = _shingle_bases(df, text_col, id_col, shingle_k, base_hash)
+    # NULL text is no document: _shingle_bases/_word_hashes drop it up
+    # front (the md5 shingle builder would otherwise hash NULL as '' via
+    # concat_ws's null-skipping and pair every NULL doc with every empty
+    # doc)
     if kernel == "arrow":
         import pyarrow as pa
 
-        a_loc, b_loc, m, nh = a.copy(), b.copy(), _MERSENNE, n_hashes
+        a_loc, b_loc, m, nh, k = a.copy(), b.copy(), _MERSENNE, n_hashes, shingle_k
+        if base_hash == "xxhash64":
+            # in-kernel sliding polynomial (_poly_windows_np): identical
+            # values, ~2.6 s of JVM per-window Horner evaluation at 500k
+            # docs moves into a few vectorized numpy passes
+            src = _word_hashes(df, text_col, id_col)
+            in_kernel_poly = True
+        else:
+            src = _shingle_bases(df, text_col, id_col, shingle_k, base_hash)
+            in_kernel_poly = False
 
         def sig_kernel(batches):
             for batch in batches:
@@ -194,20 +280,21 @@ def minhash_signatures(
                 # flatten() respects any slice offset; value_lengths()
                 # likewise — derive starts from lengths rather than the
                 # raw offsets buffer (which ignores slicing)
-                flat = lst.flatten().to_numpy(zero_copy_only=False)
-                flat = flat.astype(np.int64, copy=False)
-                lens = lst.value_lengths().to_numpy(zero_copy_only=False)
-                # reduceat invariant: every __bases list is non-null with
-                # >=1 element (guaranteed by _shingle_bases' whole-text-gram
-                # branch). An empty slice would make reduceat silently read
-                # the NEXT document's first hash; a null list arrives as
-                # float64 NaN -> garbage int64. Fail loudly instead.
+                flat, lens = _flat_lists(lst)
+                # reduceat invariant: every input list is non-null with
+                # >=1 element (guaranteed by the whole-text-gram branch /
+                # split of non-null text). An empty slice would make
+                # reduceat silently read the NEXT document's first hash; a
+                # null list arrives as float64 NaN -> garbage int64. Fail
+                # loudly instead.
                 if lst.null_count or lens.min() == 0:
                     raise AssertionError(
-                        "minhash arrow kernel: __bases must be non-null "
-                        "lists with >=1 element (upstream _shingle_bases "
-                        "contract violated)"
+                        "minhash arrow kernel: input must be non-null "
+                        "lists with >=1 element (upstream contract "
+                        "violated)"
                     )
+                if in_kernel_poly:
+                    flat, lens = _poly_windows_np(flat, lens, k)
                 starts = np.zeros(n, dtype=np.int64)
                 np.cumsum(lens[:-1], out=starts[1:])
                 sig = np.empty((n, nh), dtype=np.int64)
@@ -227,12 +314,13 @@ def minhash_signatures(
                     [id_col, "sig"],
                 )
 
-        id_t = with_bases.schema[id_col].dataType.simpleString()
-        return with_bases.select(id_col, "__bases").mapInArrow(
+        id_t = src.schema[id_col].dataType.simpleString()
+        return src.mapInArrow(
             sig_kernel, f"{id_col} {id_t}, sig array<bigint>"
         )
     if kernel != "native":
         raise ValueError(f"unknown kernel {kernel!r} (want 'arrow' or 'native')")
+    with_bases = _shingle_bases(df, text_col, id_col, shingle_k, base_hash)
     # one generated SQL string for the 64 mins (per-node py4j round-trips
     # on a 64-expression tree are the slow path — NOTES.md)
     mins = ", ".join(
@@ -421,6 +509,75 @@ def ngram_jaccard(
     return joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
 
 
+def _unique_gram_rows(
+    df: DataFrame, text_col: str, id_col: str, ngram: int, base_hash: str
+) -> DataFrame:
+    """(id, __h) — one row per DISTINCT n-gram base hash per document,
+    as a single map-only mapInArrow pass (no shuffle, text never leaves
+    the scan). Shared by cross_doc_ngram_profile (arrow kernel) and
+    decontaminate's corpus side.
+
+    xxhash64: the kernel receives per-word hash arrays and runs the
+    sliding polynomial itself (_poly_windows_np — identical values to the
+    JVM _shingle_bases form at a fraction of the scan cost). md5: the
+    kernel receives the JVM-computed base arrays (the exact-oracle path
+    hashes literal shingle strings; only the per-doc unique runs here).
+
+    Per-doc unique without a per-document Python loop: bases < 2^31, so
+    (doc_index << 31) | base is collision-free within a batch and ONE
+    np.unique over the packed keys yields every document's sorted
+    distinct grams; ids come back via a vectorized Arrow take."""
+    import pyarrow as pa
+
+    if base_hash == "xxhash64":
+        src = _word_hashes(df, text_col, id_col)
+        in_kernel_poly = True
+    else:
+        src = _shingle_bases(df, text_col, id_col, ngram, base_hash)
+        in_kernel_poly = False
+    k = ngram
+
+    def gram_kernel(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            lst = batch.column(1)
+            n = len(lst)
+            if n == 0:
+                continue
+            flat, lens = _flat_lists(lst)
+            if lst.null_count or (lens.size and lens.min() == 0):
+                raise AssertionError(
+                    "gram kernel: input lists must be non-null with >=1 "
+                    "element (upstream text filter contract violated)"
+                )
+            if in_kernel_poly:
+                bases, out_lens = _poly_windows_np(flat, lens, k)
+            else:
+                bases, out_lens = flat, lens
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), out_lens)
+            ukeys = np.unique((doc_of << 31) | bases)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(ukeys >> 31, type=pa.int32())),
+                    pa.array(ukeys & np.int64((1 << 31) - 1), type=pa.int64()),
+                ],
+                [id_col, "__h"],
+            )
+
+    id_t = src.schema[id_col].dataType.simpleString()
+    return src.mapInArrow(gram_kernel, f"{id_col} {id_t}, __h long")
+
+
+# Sort-heavy per-hash count stages (the gram-stream window) get this many
+# times the session's shuffle parallelism: the gram stream is ~grams-per-
+# doc × docs rows, and at the default 2×cores partitions a 500k-doc
+# corpus put ~1M rows in each sort task — past execution memory, 414 MB
+# of measured spill (round 6, stage metrics). 2× halves per-task sort
+# state (no spill at bench scale) while staying proportional to the
+# session/cluster parallelism rather than a local-mode constant.
+_COUNT_SHUFFLE_FACTOR = 2
+
+
 def cross_doc_ngram_profile(
     df: DataFrame,
     text_col: str = "text",
@@ -453,15 +610,17 @@ def cross_doc_ngram_profile(
     None (default) is exact and what the driver oracle checks.
 
     kernel='arrow' (DEFAULT, adopted on measurement — BASELINE.md round
-    4): a mapInPandas kernel takes the JVM-computed __bases arrays and
-    emits per-document np.unique (id, hash) rows directly, and the
-    per-hash doc count runs as a window count over the hash partition.
-    Versus the native form this deletes the 59M-row localCheckpoint, the
-    explode Generate, the (id, hash) distinct exchange AND the count
-    join — interleaved same-session measurement at 500k docs: ~11-17 s
-    vs 25-42 s native, identical values. No join also means no
-    AQE-misestimated-broadcast hazard on the statless Python stream (a
-    counts-side broadcast OOM'd the joined variant in testing).
+    4; rebuilt round 6): a mapInArrow kernel emits per-document distinct
+    (id, hash) rows directly (for xxhash64 it also runs the sliding
+    polynomial itself — _poly_windows_np), and the per-hash doc count
+    runs as a window count over the hash partition (widened by
+    _COUNT_SHUFFLE_FACTOR to keep the sort in memory). Versus the native
+    form this deletes the 59M-row localCheckpoint, the explode Generate,
+    the (id, hash) distinct exchange AND the count join — round-6
+    measurement at 500k docs: ~8 s vs 25-42 s native, identical values.
+    No join also means no AQE-misestimated-broadcast hazard on the
+    statless Python stream (a counts-side broadcast OOM'd the joined
+    variant in testing).
     kernel='native' keeps the all-JVM exact path (checkpoint + explode +
     distinct + join) for sessions that must avoid Python workers.
 
@@ -480,31 +639,20 @@ def cross_doc_ngram_profile(
     # shape (8-byte keys) and exactly what the SQL oracle computes.
     df = df.filter(F.col(text_col).isNotNull())
     if kernel == "arrow":
-        import pandas as pd
-
-        bases_df = _shingle_bases(df, text_col, id_col, ngram, base_hash)
-
-        def uniq_kernel(batches):
-            for pdf in batches:
-                ids, hs = [], []
-                for doc_id, bs in zip(pdf[id_col], pdf["__bases"]):
-                    arr = np.unique(np.asarray(bs, dtype=np.int64))
-                    if arr.size:
-                        ids.append(np.full(arr.size, doc_id, dtype=object))
-                        hs.append(arr)
-                if ids:
-                    yield pd.DataFrame(
-                        {id_col: np.concatenate(ids), "__h": np.concatenate(hs)}
-                    )
-
-        id_t = bases_df.schema[id_col].dataType.simpleString()
-        grams = bases_df.mapInPandas(
-            uniq_kernel, schema=f"{id_col} {id_t}, __h long"
-        )
+        grams = _unique_gram_rows(df, text_col, id_col, ngram, base_hash)
         if sample_mod is not None:
             grams = grams.filter(F.col("__h") % sample_mod == 0)
+        # explicit repartition feeding the window: the window reuses this
+        # partitioning (same key), so it is the SAME single exchange —
+        # just at _COUNT_SHUFFLE_FACTOR × the session parallelism, which
+        # keeps each per-hash sort task inside execution memory (414 MB
+        # of spill measured at the default width on 500k docs).
+        n_count_parts = _COUNT_SHUFFLE_FACTOR * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
         profile = (
-            grams.withColumn(
+            grams.repartition(n_count_parts, "__h")
+            .withColumn(
                 "__docs", F.count("*").over(Window.partitionBy("__h"))
             )
             .groupBy(id_col)
@@ -641,34 +789,74 @@ def winnow_fingerprints(
         # shape is unchanged. kernel='native' keeps the all-JVM form
         # (two localCheckpoints) for sessions that must avoid Python
         # workers entirely.
-        import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         win = window
+        if base_hash == "xxhash64":
+            src = _word_hashes(df, text_col, id_col)
+            in_kernel_poly = True
+        else:
+            src = _shingle_bases(df, text_col, id_col, ngram, base_hash)
+            in_kernel_poly = False
+        k = ngram
 
         def fps_kernel(batches):
             from numpy.lib.stride_tricks import sliding_window_view
 
-            for pdf in batches:
-                ids, hs_out = [], []
-                for doc_id, bases in zip(pdf[id_col], pdf["__bases"]):
-                    arr = np.asarray(bases, dtype=np.int64)
-                    if arr.size == 0:
-                        continue
-                    if arr.size >= win:
-                        fps = np.unique(sliding_window_view(arr, win).min(axis=1))
-                    else:
-                        fps = arr.min(keepdims=True)
-                    ids.append(np.full(fps.size, doc_id, dtype=object))
-                    hs_out.append(fps)
-                if ids:
-                    yield pd.DataFrame(
-                        {id_col: np.concatenate(ids), "__h": np.concatenate(hs_out)}
+            for batch in batches:
+                ids = batch.column(0)
+                lst = batch.column(1)
+                n = len(lst)
+                if n == 0:
+                    continue
+                flat, lens = _flat_lists(lst)
+                if in_kernel_poly:
+                    bases, blens = _poly_windows_np(flat, lens, k)
+                else:
+                    bases, blens = flat, lens
+                # global sliding-min over the batch's concatenated bases,
+                # per-doc boundaries enforced by the same start/end-in-
+                # same-doc mask as the polynomial; docs with fewer than
+                # `win` grams take their single overall min (reduceat).
+                n_docs = blens.size
+                bstarts = np.zeros(n_docs, dtype=np.int64)
+                np.cumsum(blens[:-1], out=bstarts[1:])
+                out_lens = np.where(blens >= win, blens - win + 1, 1).astype(
+                    np.int64
+                )
+                out = np.empty(int(out_lens.sum()), dtype=np.int64)
+                W = bases.size - win + 1
+                if W > 0:
+                    mins = sliding_window_view(bases, win).min(axis=1)
+                    doc_of = np.repeat(
+                        np.arange(n_docs, dtype=np.int64), blens
                     )
+                    valid = doc_of[:W] == doc_of[win - 1:]
+                else:
+                    mins = np.empty(0, dtype=np.int64)
+                    valid = np.empty(0, dtype=bool)
+                long_doc = blens >= win
+                out_doc_of = np.repeat(
+                    np.arange(n_docs, dtype=np.int64), out_lens
+                )
+                out_is_long = long_doc[out_doc_of]
+                out[out_is_long] = mins[valid]
+                if not long_doc.all():
+                    whole_mins = np.minimum.reduceat(bases, bstarts)
+                    out[~out_is_long] = whole_mins[out_doc_of[~out_is_long]]
+                ukeys = np.unique((out_doc_of << 31) | out)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.take(pa.array(ukeys >> 31, type=pa.int32())),
+                        pa.array(
+                            ukeys & np.int64((1 << 31) - 1), type=pa.int64()
+                        ),
+                    ],
+                    [id_col, "__h"],
+                )
 
-        bases_df = _shingle_bases(df, text_col, id_col, ngram, base_hash)
-        id_t = bases_df.schema[id_col].dataType.simpleString()
-        return bases_df.mapInPandas(fps_kernel, schema=f"{id_col} {id_t}, __h long")
+        id_t = src.schema[id_col].dataType.simpleString()
+        return src.mapInArrow(fps_kernel, f"{id_col} {id_t}, __h long")
     if kernel != "native":
         raise ValueError(f"unknown kernel {kernel!r} (want 'arrow' or 'native')")
     with_bases = _shingle_bases(df, text_col, id_col, ngram, base_hash).localCheckpoint(
@@ -1022,10 +1210,18 @@ def decontaminate(
         .select(F.explode_outer("__bases").alias("__h"))
         .distinct()
     )
-    corpus_grams = (
-        _shingle_bases(corpus, text_col, id_col, ngram, base_hash)
-        .select(id_col, F.explode_outer("__bases").alias("__h"))
-    )
+    if base_hash == "xxhash64":
+        # in-kernel polynomial + per-doc unique (round 6): the JVM k=13
+        # Horner per window was the corpus-side scan bottleneck; per-doc
+        # unique BEFORE the broadcast join is semantically free (the
+        # post-join (id, __h) distinct already collapses within-doc
+        # repeats) and shrinks the join probe stream.
+        corpus_grams = _unique_gram_rows(corpus, text_col, id_col, ngram, base_hash)
+    else:
+        corpus_grams = (
+            _shingle_bases(corpus, text_col, id_col, ngram, base_hash)
+            .select(id_col, F.explode_outer("__bases").alias("__h"))
+        )
     bench_side = F.broadcast(bench_grams) if broadcast else bench_grams
     hits = (
         corpus_grams.join(bench_side, "__h")
