@@ -261,6 +261,116 @@ def line_distance_matrix(points: np.ndarray, seg_a: np.ndarray, seg_b: np.ndarra
     return EARTH_RADIUS * np.sqrt(ddx * ddx + ddy * ddy)
 
 
+def hausdorff_distance_batch(
+    xy1: np.ndarray,
+    n1: np.ndarray,
+    xy2: np.ndarray,
+    n2: np.ndarray,
+    target_bytes: int = 1 << 20,
+) -> np.ndarray:
+    """Symmetric Hausdorff for B ring PAIRS at once — the batched form of
+    hausdorff_distance, value-identical per pair (same elementwise
+    projection/segment formulas; padding only adds +inf/-inf entries that
+    the min/max reductions ignore).
+
+    xy1/xy2: concatenated ring vertices ((Σn, 2) float64, lon/lat);
+    n1/n2: per-ring vertex counts (B,). Returns (B,) float64.
+
+    Round-6 motivation: the per-row pandas UDF paid a Python loop + two
+    numpy matrix-kernel launches per PAIR (~2M pairs in conflate_city_1m
+    — the stage wall); this pads each chunk of pairs into (C, Vmax, 2)
+    tensors and runs both directed max-mins as a handful of vectorized
+    passes per chunk. Chunks are sized so the (C, V1, V2) distance
+    tensors stay under target_bytes."""
+    n1 = np.asarray(n1, dtype=np.int64)
+    n2 = np.asarray(n2, dtype=np.int64)
+    B = n1.size
+    out = np.zeros(B, dtype=np.float64)
+    if B == 0:
+        return out
+    starts1 = np.zeros(B, dtype=np.int64)
+    np.cumsum(n1[:-1], out=starts1[1:])
+    starts2 = np.zeros(B, dtype=np.int64)
+    np.cumsum(n2[:-1], out=starts2[1:])
+    live = np.flatnonzero((n1 >= 2) & (n2 >= 2))  # degenerate rings -> 0.0
+    # size-sorted chunks: near-uniform (n1, n2) per chunk keeps the padded
+    # tensors tight (mixed sizes would pad every pair to the batch max)
+    live = live[np.argsort(n1[live] * n2[live], kind="stable")]
+    pos = 0
+    while pos < live.size:
+        v_prod = int(n1[live[pos]]) * int(n2[live[pos]])
+        # ~5 live (C, V1, V2) temporaries in the directed pass
+        c_max = max(1, target_bytes // (5 * 8 * max(v_prod, 1)))
+        idx = live[pos:pos + c_max]
+        pos += idx.size
+        C = idx.size
+        v1m = int(n1[idx].max())
+        v2m = int(n2[idx].max())
+
+        def pad_rings(xy, n, starts, vmax):
+            cn = n[idx]
+            total = int(cn.sum())
+            cum = np.zeros(C, dtype=np.int64)
+            np.cumsum(cn[:-1], out=cum[1:])
+            rows = np.repeat(np.arange(C, dtype=np.int64), cn)
+            ar = np.arange(total, dtype=np.int64)
+            poss = ar - np.repeat(cum, cn)
+            src = np.repeat(starts[idx] - cum, cn) + ar
+            pad = np.zeros((C, vmax, 2), dtype=np.float64)
+            pad[rows, poss] = xy[src]
+            return pad
+
+        pad1 = pad_rings(xy1, n1, starts1, v1m)
+        pad2 = pad_rings(xy2, n2, starts2, v2m)
+        x1, y1 = _project_cos(pad1)  # (C, V1)
+        x2, y2 = _project_cos(pad2)  # (C, V2)
+        h12 = _directed_hausdorff_padded(x1, y1, n1[idx], x2, y2, n2[idx])
+        h21 = _directed_hausdorff_padded(x2, y2, n2[idx], x1, y1, n1[idx])
+        out[idx] = np.maximum(h12, h21)
+    return out
+
+
+def _directed_hausdorff_padded(px, py, np_, sx, sy, ns):
+    """max over valid points of min over valid segments of point→segment
+    metre distance; padded inputs, (C,) result. Binary-op sequence kept
+    IDENTICAL to line_distance_matrix (a*b then +, +x1 then -x3, sqrt
+    then ×R) so values are bit-equal to the scalar kernel; in-place ops
+    only bound the number of live (C, V1, V2) temporaries."""
+    ax1, ay1 = sx[:, :-1], sy[:, :-1]
+    dx = sx[:, 1:] - ax1
+    dy = sy[:, 1:] - ay1
+    len_sq = dx * dx + dy * dy
+    axp = px[:, :, None] - ax1[:, None, :]          # T1
+    ayp = py[:, :, None] - ay1[:, None, :]          # T2
+    t = axp * dx[:, None, :]                        # T3
+    tmp = ayp * dy[:, None, :]                      # T4
+    t += tmp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t /= len_sq[:, None, :]
+    np.copyto(t, -1.0, where=(len_sq == 0.0)[:, None, :])
+    np.clip(t, 0.0, 1.0, out=t)
+    # ddx = (ax1 + t*dx) - px, same order as x4 = x1 + t*dx; x4 - x3
+    np.multiply(t, dx[:, None, :], out=tmp)
+    tmp += ax1[:, None, :]
+    tmp -= px[:, :, None]
+    np.square(tmp, out=tmp)                         # ddx²
+    np.multiply(t, dy[:, None, :], out=t)
+    t += ay1[:, None, :]
+    t -= py[:, :, None]
+    np.square(t, out=t)                             # ddy²
+    tmp += t
+    np.sqrt(tmp, out=tmp)
+    d = np.multiply(tmp, EARTH_RADIUS, out=tmp)
+    # invalid segments (index >= n-1) can never win the min; invalid
+    # points (index >= n-1) can never win the max
+    seg_valid = np.arange(d.shape[2])[None, :] < (ns - 1)[:, None]
+    np.copyto(d, np.inf, where=~seg_valid[:, None, :])
+    dmin = d.min(axis=2)
+    pt_valid = np.arange(d.shape[1])[None, :] < (np_ - 1)[:, None]
+    np.copyto(dmin, -np.inf, where=~pt_valid)
+    return dmin.max(axis=1)
+
+
 def line_distance(s1, s2, p3) -> float:
     """Scalar point→segment distance (reference signature)."""
     return float(

@@ -106,14 +106,22 @@ def _scored_candidates(
     )
     o_rings = o_all.select("osm_id", F.col("ring").alias("o_ring"))
 
-    # candidate superset: 3×3 cell block around the OSM centre × import cell
+    # candidate superset: 3×3 cell block around the IMPORT centre × OSM
+    # cell — identical pair set to exploding the OSM side (the 3×3
+    # neighbour relation is symmetric: |Δcellx|≤1 ∧ |Δcelly|≤1), chosen
+    # so the EXPLODED side is the probe stream and the single-cell side
+    # is the broadcast build: the hash relation holds N rows instead of
+    # 9N (round 6: the 9N-entry build was a measured 50 task-s stage at
+    # 1M buildings; the 9N probe rows stream map-side either way)
     cand = (
-        o.withColumn("__cells", _neighbors9(F.col("o_lon"), F.col("o_lat"), CONFLATE_RES))
+        imp.withColumn(
+            "__cells", _neighbors9(F.col("i_lon"), F.col("i_lat"), CONFLATE_RES)
+        )
         .select("*", F.explode("__cells").alias("__cell"))
         .drop("__cells")
         .join(
-            imp.withColumn(
-                "__cell", cell_id_col(F.col("i_lon"), F.col("i_lat"), CONFLATE_RES)
+            o.withColumn(
+                "__cell", cell_id_col(F.col("o_lon"), F.col("o_lat"), CONFLATE_RES)
             ),
             "__cell",
         )
