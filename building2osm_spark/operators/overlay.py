@@ -85,31 +85,59 @@ def raster_vector_overlay(
     lon: str = "lon",
     lat: str = "lat",
     exact: bool = True,
+    broadcast: bool = True,
 ) -> DataFrame:
     """(image columns…, tile, ref) — images overlaid onto footprints.
 
     exact=True refines boundary-tile candidates with the native ray cast
     (interior-tile candidates are proven by the tile alone); exact=False
     returns the conservative tile-level overlay (superset — the cheap
-    variant when downstream re-verifies anyway)."""
+    variant when downstream re-verifies anyway).
+
+    broadcast=True (default) is the north-star raster≫vector shape: the
+    footprint tile cover and the flattened rings are materialized once
+    (the Python tile kernel has no Catalyst stats, so without the hint
+    the planner SMJ-shuffled the full image table — a measured 4M-row
+    exchange plus a second kernel evaluation at bench scale) and
+    broadcast, keeping the image side MAP-ONLY: one scan, no exchange,
+    boundary refine folded into the same pass as a lazy conditional.
+    HARD CONTRACT: the footprint side (cover rows + rings) must fit the
+    broadcast limit — pass broadcast=False for footprint tables beyond
+    ~1e7 covers and let the planner shuffle both sides."""
     tiles = footprint_tiles(polys, res, ref_col, geometry)
+    if broadcast:
+        # one kernel evaluation, materialized blocks (ContextCleaner-
+        # managed), then a broadcast build from the checkpoint
+        tiles = F.broadcast(tiles.localCheckpoint(eager=True))
     imgs = image_tiles(images_located, res, lon, lat)
     cand = imgs.join(tiles, "tile")
     if not exact:
         return cand.drop("full")
+    out_cols = [c for c in cand.columns if c != "full"]
+    geoms = polys.select(
+        F.col(ref_col),
+        flatten_geometry_col(F.col(geometry), multipolygon=False).alias("__rings"),
+    )
+    if broadcast:
+        # single pass: every candidate row sees its rings via the
+        # broadcast probe, but the ray cast only evaluates on boundary
+        # rows (the `full` short-circuit) — interior hits stay free
+        refined = (
+            cand.join(F.broadcast(geoms), ref_col)
+            .filter(
+                F.col("full")
+                | rings_contains_col(F.col("__rings"), F.col(lon), F.col(lat))
+            )
+            .select(*out_cols)
+        )
+        return refined
     # only BOUNDARY-tile candidates need the ring payload — in a dense
     # raster the full-tile majority is proven by the tile alone, so
     # joining the flattened rings onto those rows would ship the geometry
     # through the hot candidate shuffle just to drop it in the filter
     full_hits = cand.filter(F.col("full")).drop("full")
     boundary = cand.filter(~F.col("full")).drop("full")
-    with_geom = boundary.join(
-        polys.select(
-            F.col(ref_col),
-            flatten_geometry_col(F.col(geometry), multipolygon=False).alias("__rings"),
-        ),
-        ref_col,
-    )
+    with_geom = boundary.join(geoms, ref_col)
     refined = with_geom.filter(
         rings_contains_col(F.col("__rings"), F.col(lon), F.col(lat))
     ).drop("__rings")
