@@ -919,6 +919,29 @@ def winnowed_ngram_profile(
     )
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Fan an under-parallel scan out to the session's parallelism before
+    a compute-dense per-document projection.
+
+    A small parquet input with one row group scans as ONE task, and a
+    map-only kernel above it then runs single-core no matter how many
+    cores the session has (round 6: the sf0.1 simhash 64-fold pack spent
+    1.7 cpu-s on one task of a 2.3 s query). Only fires when the scan has
+    fewer than half the default parallelism's partitions — a corpus-scale
+    input already has >= cores splits, so the at-scale plan stays
+    map-only and no exchange is added; when it does fire, the exchanged
+    bytes are the small input itself."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning-only probe, never fatal
+        return df
+    if n * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -932,8 +955,11 @@ def simhash(
     per word, base = base_hash(word) mod M; bit i of the word's 64-bit
     sketch is [(a_i·base + b_i) mod M > M/2] (an unbiased coin per
     (word, i)); per document, vote_i = Σ_words (2·bit−1); simhash bit i is
-    set when vote_i > 0. Shape: MAP-ONLY — the per-word base hashes stay a
-    per-document array and each vote_i is an `aggregate(...)` fold over it
+    set when vote_i > 0. Shape: MAP-ONLY on any well-partitioned input —
+    the per-word base hashes stay a per-document array and each vote_i is
+    an `aggregate(...)` fold over it (an under-parallel scan is first
+    fanned out to the session's cores, see _spread_small_input; no-op at
+    corpus scale)
     (identical values to the explode + 64 conditional-sum groupBy form,
     but no exchange of 64-column rows). The 64 folds + the bitwise-OR pack
     are generated as single SQL expressions (one Catalyst tree each, no
@@ -942,6 +968,7 @@ def simhash(
     a, b = _hash_params(64, seed)
     half = _MERSENNE // 2
     df = df.filter(F.col(text_col).isNotNull())  # NULL text is no document
+    df = _spread_small_input(df)  # no-op on corpus-scale inputs
     hw = df.select(
         F.col(id_col),
         F.transform(

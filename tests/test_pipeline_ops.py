@@ -877,6 +877,20 @@ def test_simhash_plan_is_map_only(spark, docs):
     assert "Python" not in plan
 
 
+def test_simhash_spreads_single_partition_input(spark, docs):
+    """An under-parallel input (one scan task, e.g. a single-row-group
+    parquet file) is fanned out so the 64-fold pack parallelizes: exactly
+    one round-robin Exchange, values identical to the map-only form."""
+    base = docs.select("doc_id", "text")
+    narrow = base.coalesce(1)
+    sims = D.simhash(narrow, base_hash="xxhash64")
+    plan = sims._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "roundrobin" in plan.lower()
+    wide = {(r["doc_id"], r["simhash"]) for r in D.simhash(base, base_hash="xxhash64").collect()}
+    got = {(r["doc_id"], r["simhash"]) for r in sims.collect()}
+    assert got == wide
+
+
 def test_null_text_documents_are_dropped_not_zero_hashed(spark):
     """NULL-text docs must vanish from both hash families (the explode
     forms dropped them; packing 0 would pair all NULL docs as dups)."""
