@@ -224,3 +224,34 @@ class TestParse:
         vals = np.array([float(v) for v in coords.split(" ")]).reshape(-1, 2)
         got = geom.dedupe_consecutive(vals)
         assert [tuple(p) for p in got] == want
+
+
+class TestHausdorffBatch:
+    def test_batch_is_bit_identical_to_scalar(self):
+        # round 6: the conflate kernel scores whole Arrow batches through
+        # hausdorff_distance_batch; padding must not perturb any value
+        rng = np.random.default_rng(7)
+        rings = []
+        for _ in range(80):
+            n = int(rng.integers(2, 40))
+            base = np.array([10.7 + rng.uniform(-0.1, 0.1), 59.9 + rng.uniform(-0.05, 0.05)])
+            pts = base + rng.normal(0, 1e-4, (n, 2))
+            rings.append(np.vstack([pts, pts[0]]))
+        rings[3] = rings[3][:1]   # degenerate: < 2 vertices -> 0.0
+        rings[7] = rings[7][:2]
+        pairs = [(rings[i], rings[(i * 7 + 3) % 80]) for i in range(80)]
+        ref = np.array([geom.hausdorff_distance(a, b) for a, b in pairs])
+        xy1 = np.concatenate([a for a, _ in pairs])
+        n1 = np.array([len(a) for a, _ in pairs])
+        xy2 = np.concatenate([b for _, b in pairs])
+        n2 = np.array([len(b) for _, b in pairs])
+        # tiny target_bytes forces many mixed-size chunks (the hard case)
+        got = geom.hausdorff_distance_batch(xy1, n1, xy2, n2, target_bytes=1 << 12)
+        assert np.array_equal(ref, got)
+
+    def test_empty_batch(self):
+        out = geom.hausdorff_distance_batch(
+            np.empty((0, 2)), np.empty(0, np.int64),
+            np.empty((0, 2)), np.empty(0, np.int64),
+        )
+        assert out.size == 0

@@ -111,3 +111,16 @@ def test_fused_plan_single_exchange_on_grouped_branch(spark):
     plan = rectify_and_simplify(df)._jdf.queryExecution().executedPlan().toString()
     shuffles = plan.replace("BroadcastExchange", "").count("Exchange")
     assert shuffles == 1, plan
+
+
+def test_kernel_partitions_sizing(spark):
+    """Round 6: the component shuffle is sized by ROW count (the kernel
+    is compute-bound; AQE's byte-based coalescing serialized 25k kernel
+    rows onto 2 cores at 100k buildings). Tiny -> 1 task, large -> the
+    session's shuffle parallelism."""
+    from building2osm_spark.operators.geometry_passes import _kernel_partitions
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _kernel_partitions(spark, 0) == 1
+    assert _kernel_partitions(spark, 200) == 1
+    assert _kernel_partitions(spark, 10_000_000) == shuffle_n
