@@ -75,6 +75,33 @@ def anti_join_earlier_imports(
     return imports.join(F.broadcast(osm_refs), import_ref, "left_anti")
 
 
+def _ring_carry_regime(o_side: DataFrame) -> bool:
+    """True when the planner would BROADCAST the OSM build side of the
+    candidate cell join even with its ring payload attached: the session's
+    autoBroadcastJoinThreshold is positive and the side's own optimizer
+    size estimate fits under it (the same inputs the planner's join
+    selection reads). In that regime ring payloads can ride the candidate
+    stream for free — the probe side never shuffles under a broadcast
+    join. When broadcasting is off (the documented at-scale regime, e.g.
+    conflate_from_base under autoBroadcastJoinThreshold=-1) or the side
+    is too big, rings must stay OFF the candidate path: the cell join
+    exchanges the 9-cell-exploded stream, and shuffling ring geometry per
+    candidate would dominate the stage."""
+    spark = o_side.sparkSession
+    try:
+        thr = int(
+            spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+        )
+        if thr <= 0:
+            return False
+        est = (
+            o_side._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return int(est.longValue() if hasattr(est, "longValue") else est) <= thr
+    except Exception:
+        return False
+
+
 def _scored_candidates(
     osm: DataFrame, imports: DataFrame, margin_hausdorff: float
 ) -> DataFrame:
@@ -83,28 +110,44 @@ def _scored_candidates(
     (osm_id, i_ref, o_lon/o_lat/o_area/tagged, i_lon/i_lat/i_area,
     fwd, rev, hausdorff_m), one row per bbox-surviving candidate pair."""
     # J4: drop already-imported refs; skip OSM buildings already reffed
-    # Ring payloads are split off the candidate path: the 9-cell exploded
-    # join and the bbox filter move only (id, centre, area, flag) tuples —
-    # in a dense city block each OSM building meets O(100) candidates, and
-    # shuffling ring geometry per candidate would dominate the stage. The
-    # rings re-join once per SURVIVING pair (≈1 per building) below.
+    # Ring-payload placement is REGIME-DEPENDENT (round 6, measured):
+    #  - broadcast regime (_ring_carry_regime): rings ride the candidate
+    #    stream. The probe side of a broadcast join never shuffles, rows
+    #    only materialize after the bbox filter (pushed into the join
+    #    condition), so carrying rings is free — and it deletes both
+    #    ring re-join broadcast builds (two 1M-entry ring relations,
+    #    ~21 task-s at city-1M scale; 8.7/9.0 -> 6.9/7.6 s interleaved
+    #    same-session A/B, identical 699,992 matches).
+    #  - shuffle regime (autoBroadcastJoinThreshold<=0 or side too big):
+    #    the 9-cell exploded join exchanges the candidate stream, and
+    #    shuffling ring geometry per candidate would dominate the stage
+    #    (in a dense city block each OSM building meets O(100)
+    #    candidates). Rings are split off and re-join once per SURVIVING
+    #    pair (≈1 per building) below — the shape conflate_from_base's
+    #    bucketed ring joins rely on (tests/test_bucketed.py).
     imp_all = anti_join_earlier_imports(imports, osm)
-    imp = imp_all.select(
+    o_all = osm.filter(F.col("ref_tag").isNull())
+    carry = _ring_carry_regime(
+        o_all.select("osm_id", "c_lon", "c_lat", "area", "tagged", "ring")
+    )
+    imp_cols = [
         F.col("ref").alias("i_ref"),
         F.col("c_lon").alias("i_lon"),
         F.col("c_lat").alias("i_lat"),
         F.col("area").alias("i_area"),
-    )
-    i_rings = imp_all.select(F.col("ref").alias("i_ref"), F.col("ring").alias("i_ring"))
-    o_all = osm.filter(F.col("ref_tag").isNull())
-    o = o_all.select(
-        "osm_id",
+    ]
+    o_cols = [
+        F.col("osm_id"),
         F.col("c_lon").alias("o_lon"),
         F.col("c_lat").alias("o_lat"),
         F.col("area").alias("o_area"),
-        "tagged",
-    )
-    o_rings = o_all.select("osm_id", F.col("ring").alias("o_ring"))
+        F.col("tagged"),
+    ]
+    if carry:
+        imp_cols.append(F.col("ring").alias("i_ring"))
+        o_cols.append(F.col("ring").alias("o_ring"))
+    imp = imp_all.select(*imp_cols)
+    o = o_all.select(*o_cols)
 
     # candidate superset: 3×3 cell block around the IMPORT centre × OSM
     # cell — identical pair set to exploding the OSM side (the 3×3
@@ -151,19 +194,23 @@ def _scored_candidates(
         & (i_minlat < F.col("o_lat")) & (F.col("o_lat") < i_maxlat),
     ).filter(F.col("fwd") | F.col("rev"))
 
-    # symmetric Hausdorff once per surviving pair (F9): rings join in only
-    # here, after the bbox filter has cut candidates to ≈1 per building.
-    # Kernel choice is MEASURED, not assumed: the native HOF expression
+    # symmetric Hausdorff once per surviving pair (F9). Kernel choice is
+    # MEASURED, not assumed: the native HOF expression
     # (columns.hausdorff_col, exercised by the hausdorff_pairs oracle) is
     # ~2× slower here — nested transform/zip_with allocations per element
     # lose to one vectorized numpy matrix kernel per Arrow batch
     # (5.0 s vs 2.4 s at 100k city pairs; NOTES 'hard-won facts' #4).
-    scored = (
-        cand.join(o_rings, "osm_id")
-        .join(i_rings, "i_ref")
-        .withColumn("hausdorff_m", hausdorff_udf(F.col("o_ring"), F.col("i_ring")))
-        .drop("o_ring", "i_ring")
-    )
+    if not carry:
+        # shuffle regime: rings join in only here, after the bbox filter
+        # has cut candidates to ≈1 per building
+        i_rings = imp_all.select(
+            F.col("ref").alias("i_ref"), F.col("ring").alias("i_ring")
+        )
+        o_rings = o_all.select("osm_id", F.col("ring").alias("o_ring"))
+        cand = cand.join(o_rings, "osm_id").join(i_rings, "i_ref")
+    scored = cand.withColumn(
+        "hausdorff_m", hausdorff_udf(F.col("o_ring"), F.col("i_ring"))
+    ).drop("o_ring", "i_ring")
     return scored
 
 
