@@ -37,6 +37,15 @@ from ..functions.columns import cell_id_col, distance_m_col
 _M_PER_DEG = 3.141592653589793 * EARTH_RADIUS / 180.0  # equirect metre/degree
 _BROADCAST_MAX_ROWS = 2_000_000  # ~50 MB of (id, lon, lat) — safe to ship
 
+# Straggler short-circuit (round 6): once the unresolved remainder is so
+# small that remainder × targets is under this many candidate pairs PER
+# CORE, the exact broadcast cross pass is cheaper than another grid
+# round (each grid round costs ~6 sequential stages of fixed latency —
+# the measured wall of the 200k×10k bench round was ~1 s for a 504-point
+# remainder). 250k pairs/core ≈ a fraction of one grid round's work;
+# scales with the session/cluster parallelism, not a local constant.
+_CROSS_PAIRS_PER_CORE = 250_000
+
 
 def _neighbors9(lon, lat, res: int):
     """Array of the 9 cell ids of the 3×3 block around (lon, lat) at res —
@@ -79,6 +88,7 @@ def knn_join(
     res: int | None = None,
     rounds: int = 4,
     checkpoint: bool = True,
+    cross_pairs_budget: int | None = None,
 ) -> DataFrame:
     """(point columns…, target_id, dist_m, knn_rank) — exact k nearest
     targets per point under the reference's equirectangular metric
@@ -97,10 +107,23 @@ def knn_join(
     call — long-lived sessions running many queries stay clean. Set
     checkpoint=False to keep the result fully lazy; the caller's action
     then recomputes each round's candidate join once.
-    """
+
+    cross_pairs_budget: when the target count is known (the res=None
+    path counts targets anyway) and remainder × targets falls under this
+    budget, remaining grid rounds are SKIPPED and the exact broadcast
+    straggler pass finishes the job — each grid round is ~6 sequential
+    stages of fixed latency, far more than a tiny cross join (round 6:
+    the 200k×10k bench resolved all but 504 points in round 1; the
+    short-circuit replaces a ~1 s second grid round with a ~5M-pair
+    cross pass). None (default) = defaultParallelism × 250k pairs —
+    proportional to the session's parallelism; 0 disables (always
+    escalate through the grid, the pre-round-6 behaviour). Results are
+    identical either way: both paths are exact under the same metric
+    and tie order."""
     tgt = targets.select(
         F.col(target_id), F.col(target_lon), F.col(target_lat)
     )
+    n_targets: int | None = None
     if res is None:
         stats = tgt.agg(
             F.count("*").alias("n"),
@@ -118,6 +141,7 @@ def knn_join(
                 .withColumn("dist_m", F.lit(0.0).cast("double"))
                 .withColumn("knn_rank", F.lit(1))
             )
+        n_targets = int(stats["n"])
         dlon = max(float(stats["hi1"] - stats["lo1"]), 1e-9)
         dlat = max(float(stats["hi2"] - stats["lo2"]), 1e-9)
         want_per_block = 2.0 * (k + 2)
@@ -177,6 +201,15 @@ def knn_join(
         n_remaining = remaining.count()  # materializes this round once
         if n_remaining == 0 or join_res == 4:
             break
+        if n_targets is not None and n_targets > 0:
+            budget = (
+                cross_pairs_budget
+                if cross_pairs_budget is not None
+                else points.sparkSession.sparkContext.defaultParallelism
+                * _CROSS_PAIRS_PER_CORE
+            )
+            if 0 < n_remaining * n_targets <= budget:
+                break  # straggler cross pass below beats more grid rounds
 
     if n_remaining != 0:
         # stragglers: a keyless (cross) join of the remainder against the

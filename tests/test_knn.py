@@ -123,3 +123,27 @@ def test_knn_k_exceeds_targets_broadcasts_target_side(spark):
     assert len(by_pid) == 40
     # each point gets all 3 available targets (k capped by availability)
     assert all(set(v) == want_ids for v in by_pid.values())
+
+
+def test_knn_cross_shortcircuit_matches_pure_escalation(spark):
+    """The round-6 straggler short-circuit (skip remaining grid rounds
+    when remainder × targets is under the pair budget) must return
+    exactly the pure-escalation result: same pairs, ranks, distances.
+    cross_pairs_budget=0 disables the short-circuit (pre-round-6 grid
+    escalation); the default fires it on this clustered fixture."""
+    pts, tgts, points_pdf, targets_pdf = _fixture(spark, n_points=90, seed=21)
+    want = brute_force_knn(points_pdf, targets_pdf, 2)
+
+    def rows(df):
+        return sorted(
+            (r.point_id, r.knn_rank, r.target_id, round(r.dist_m, 9))
+            for r in df.collect()
+        )
+
+    escalated = rows(knn_join(pts, tgts, k=2, cross_pairs_budget=0))
+    shortcut = rows(knn_join(pts, tgts, k=2))
+    assert escalated == shortcut
+    got = {}
+    for pid, rank, tid, _ in shortcut:
+        got.setdefault(pid, []).append(tid)
+    assert all(got[p] == [t for t, _ in want[p]] for p in got)
