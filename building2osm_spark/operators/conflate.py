@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..constants import (
+    EARTH_RADIUS_OFFSET,
     IDENTICAL_MARGIN,
     MARGIN_AREA,
     MARGIN_HAUSDORFF,
@@ -48,11 +49,76 @@ from ..functions.columns import (
     map_update_fixed,
 )
 from ..functions.udfs import format1f_udf, format2f_udf, hausdorff_udf
-from .knn import _neighbors9
 
 # cell resolution for the candidate join: cells ≈ 150 m ≫ 2×10 m margin,
 # so a 3×3 block around one centre always covers the other's bbox test
 CONFLATE_RES = 17
+
+# Safety factor on the fringe threshold of _fringe_cells: covers the
+# cos(o_lat) vs cos(i_lat) difference in the forward bbox's longitude
+# shrink (|Δlat| ≤ 2·margin_deg ≈ 3.2e-6 rad, so the true ratio is
+# ≤ 1.0001 anywhere cos(lat) ≥ 0.01) plus edge-coordinate float error.
+_FRINGE_SLACK = 1.001
+
+
+def _fringe_cells(lon, lat, res: int, margin_m: float):
+    """Candidate-join cells for one side: its own cell plus only the
+    neighbours whose SHARED BORDER lies within the maximum surviving
+    centre distance — pair-set equivalent to the full 3×3 block of
+    _neighbors9 for every pair passing either strict bbox, at ~1.6×
+    replication instead of 9× (round 6, measured: the exploded-side
+    exchange of the 1M-bucketed run was 239 MB / 54 cpu-s — the explode
+    dominates both conflate regimes).
+
+    Equivalence: a pair survives only if |Δlat| < d and |Δlon| <
+    d/cos(o_lat or i_lat), d = 2·margin_m converted exactly as
+    coordinate_offset_cols does (metres / ((π/180)·R_offset) degrees).
+    A neighbour cell can therefore only contain a surviving partner if
+    this point lies within d (resp. d/cos·slack for longitude) of that
+    border; _FRINGE_SLACK absorbs the cos(o_lat)≠cos(i_lat) gap. Cells
+    clamp at the grid edge exactly like cell_id_col; duplicates from
+    clamping collapse via array_distinct (same convention as
+    _neighbors9). Differentially tested against _neighbors9 on random +
+    border-adversarial corpora (test_conflate_fringe.py)."""
+    n = F.lit(1 << res).cast("long")
+    ix = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n), F.lit(0)), n - 1)
+    iy = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n), F.lit(0)), n - 1)
+    cell_w = F.lit(360.0) / n
+    cell_h = F.lit(180.0) / n
+    d_deg = F.lit(
+        2.0 * margin_m / ((3.141592653589793 / 180.0) * EARTH_RADIUS_OFFSET)
+        * _FRINGE_SLACK
+    )
+    thr_lon = d_deg / F.cos(F.radians(lat))
+    west_edge = ix * cell_w - F.lit(180.0)
+    south_edge = iy * cell_h - F.lit(90.0)
+    near_e = (west_edge + cell_w - lon) <= thr_lon
+    near_w = (lon - west_edge) <= thr_lon
+    near_n = (south_edge + cell_h - lat) <= d_deg
+    near_s = (lat - south_edge) <= d_deg
+
+    def cell(jx, jy):
+        cx = F.least(F.greatest(jx, F.lit(0)), n - 1)
+        cy = F.least(F.greatest(jy, F.lit(0)), n - 1)
+        return (
+            F.shiftleft(F.lit(res).cast("long"), 54)
+            .bitwiseOR(F.shiftleft(cx.cast("long"), 27))
+            .bitwiseOR(cy.cast("long"))
+        )
+
+    guarded = [
+        F.when(near_w, cell(ix - 1, iy)),
+        F.when(near_e, cell(ix + 1, iy)),
+        F.when(near_s, cell(ix, iy - 1)),
+        F.when(near_n, cell(ix, iy + 1)),
+        F.when(near_w & near_s, cell(ix - 1, iy - 1)),
+        F.when(near_w & near_n, cell(ix - 1, iy + 1)),
+        F.when(near_e & near_s, cell(ix + 1, iy - 1)),
+        F.when(near_e & near_n, cell(ix + 1, iy + 1)),
+    ]
+    return F.array_distinct(
+        F.filter(F.array(cell(ix, iy), *guarded), lambda x: x.isNotNull())
+    )
 
 
 def explode_refs(df: DataFrame, ref_col: str, out: str = "ref_value") -> DataFrame:
@@ -149,16 +215,21 @@ def _scored_candidates(
     imp = imp_all.select(*imp_cols)
     o = o_all.select(*o_cols)
 
-    # candidate superset: 3×3 cell block around the IMPORT centre × OSM
-    # cell — identical pair set to exploding the OSM side (the 3×3
-    # neighbour relation is symmetric: |Δcellx|≤1 ∧ |Δcelly|≤1), chosen
-    # so the EXPLODED side is the probe stream and the single-cell side
-    # is the broadcast build: the hash relation holds N rows instead of
-    # 9N (round 6: the 9N-entry build was a measured 50 task-s stage at
-    # 1M buildings; the 9N probe rows stream map-side either way)
+    # candidate superset: fringe cell block around the IMPORT centre ×
+    # OSM cell — pair-set identical to the full 3×3 explode (see
+    # _fringe_cells: only borders within the surviving centre distance
+    # can hide a partner) and to exploding the OSM side instead (the
+    # neighbour relation is symmetric). The import side is the EXPLODED
+    # side so the single-cell OSM side is the broadcast build (round 6:
+    # a 9N-entry build was a measured 50 task-s stage at 1M buildings);
+    # the fringe cut the exploded stream 9× → ~1.6× replication, which
+    # both regimes pay for (broadcast probe CPU / shuffle bytes).
     cand = (
         imp.withColumn(
-            "__cells", _neighbors9(F.col("i_lon"), F.col("i_lat"), CONFLATE_RES)
+            "__cells",
+            _fringe_cells(
+                F.col("i_lon"), F.col("i_lat"), CONFLATE_RES, margin_hausdorff
+            ),
         )
         .select("*", F.explode("__cells").alias("__cell"))
         .drop("__cells")
@@ -789,7 +860,12 @@ def identical_pair_count(osm: DataFrame, imports: DataFrame) -> int:
     imp = anti_join_earlier_imports(imports, osm)
     o = osm.filter(F.col("ref_tag").isNull())
     cand = (
-        o.withColumn("__cells", _neighbors9(F.col("c_lon"), F.col("c_lat"), CONFLATE_RES))
+        o.withColumn(
+            "__cells",
+            _fringe_cells(
+                F.col("c_lon"), F.col("c_lat"), CONFLATE_RES, MARGIN_HAUSDORFF
+            ),
+        )
         .select(
             F.col("osm_id"),
             F.col("ring").alias("o_ring"),
