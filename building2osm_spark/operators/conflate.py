@@ -231,7 +231,12 @@ def _scored_candidates(
                 F.col("i_lon"), F.col("i_lat"), CONFLATE_RES, margin_hausdorff
             ),
         )
-        .select("*", F.explode("__cells").alias("__cell"))
+        # explode_outer, not explode: the non-outer Generate pushes an
+        # implicit size()>0 filter that re-evaluates the whole fringe
+        # CASE expression per row (hard-won fact 23); the array always
+        # holds at least the own cell, so outer is value-identical
+        # (measured 4.0 → 3.6 s at 1M, counts equal)
+        .select("*", F.explode_outer("__cells").alias("__cell"))
         .drop("__cells")
         .join(
             o.withColumn(
@@ -871,7 +876,9 @@ def identical_pair_count(osm: DataFrame, imports: DataFrame) -> int:
             F.col("ring").alias("o_ring"),
             F.col("c_lon").alias("o_lon"),
             F.col("c_lat").alias("o_lat"),
-            F.explode("__cells").alias("__cell"),
+            # outer: skips the implicit size()>0 re-evaluation of the
+            # fringe expression; the array is never empty (own cell)
+            F.explode_outer("__cells").alias("__cell"),
         )
         .join(
             imp.select(
