@@ -232,6 +232,19 @@ def cover_polygon_flags(
     cells = cover_polygon(rings, res, max_cells=max_cells)
     if len(cells) == 0:
         return cells, np.zeros(0, dtype=bool)
+    # sub-cell early exit (round 6): a full cell's 4 corners lie strictly
+    # inside the outer ring, so the ring's bbox must span at least one
+    # full cell in BOTH axes — a polygon smaller than a cell (the common
+    # case for building footprints at fine res) can have no full cell,
+    # and the corner ray casts + edge-overlap scans below are pure
+    # overhead. Strict <, so exactly-cell-sized polygons still take the
+    # full path.
+    r0 = np.asarray(rings[0], dtype=np.float64)
+    n = 1 << res
+    if (r0[:, 0].max() - r0[:, 0].min()) < 360.0 / n or (
+        r0[:, 1].max() - r0[:, 1].min()
+    ) < 180.0 / n:
+        return cells, np.zeros(len(cells), dtype=bool)
     c_minlon, c_minlat, c_maxlon, c_maxlat = cell_bounds(cells)
     corners = np.stack(
         [
