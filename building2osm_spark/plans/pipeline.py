@@ -24,7 +24,7 @@ from ..operators.knn import knn_join
 from ..sources.checkpoint import SnapshotStore
 from ..functions.columns import map_update_fixed
 from ..sources.dims import building_types, compose_output_tags, enrich_building_tags
-from ..sources.fixtures import image_location
+from ..sources.fixtures import image_locations_batch
 
 
 def with_location(images: DataFrame, hot_frac: float = 0.0) -> DataFrame:
@@ -38,8 +38,11 @@ def with_location(images: DataFrame, hot_frac: float = 0.0) -> DataFrame:
         )
     )
     def loc_udf(image_id: pd.Series) -> pd.DataFrame:
-        pts = [image_location(i, hot_frac) for i in image_id]
-        return pd.DataFrame({"lon": [p[0] for p in pts], "lat": [p[1] for p in pts]})
+        # vectorized fnv1a64 fold (round 6): bit-identical to the per-row
+        # image_location, ~20x per batch (the scalar form is a per-byte
+        # Python loop)
+        lon, lat = image_locations_batch(image_id.to_numpy(), hot_frac)
+        return pd.DataFrame({"lon": lon, "lat": lat})
 
     return images.withColumn("__loc", loc_udf(F.col("image_id"))).select(
         "*", F.col("__loc.lon").alias("lon"), F.col("__loc.lat").alias("lat")

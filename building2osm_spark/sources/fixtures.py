@@ -54,6 +54,62 @@ def image_location(image_id: str, hot_frac: float = 0.0) -> tuple[float, float]:
     return (minlon + u1 * (maxlon - minlon), minlat + u2 * (maxlat - minlat))
 
 
+def fnv1a64_batch(ids: np.ndarray) -> np.ndarray:
+    """Vectorized fnv1a64 over an array of str — bit-identical values
+    (round 6: the per-row form is a per-BYTE Python loop; at 500k rows
+    with_location spent ~11 task-s in it). Ids are widened to a
+    fixed-width byte matrix (NUL-padded); the fold runs as max_len
+    vectorized passes masked on the padding. NUL bytes cannot occur in
+    UTF-8-encoded ids (only U+0000 encodes to 0x00, never present in
+    the engine's id spaces), asserted against the scalar form in
+    tests/test_fixture_hash_batch.py."""
+    n = len(ids)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    # fixed-width bytes view; non-ASCII survives via per-element encode
+    fixed = np.char.encode(np.asarray(ids, dtype="U"), "utf-8")
+    width = fixed.dtype.itemsize
+    mat = np.frombuffer(fixed.tobytes(), dtype=np.uint8).reshape(n, width)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            col = mat[:, j]
+            live = col != 0
+            if not live.any():
+                break
+            hj = (h[live] ^ col[live].astype(np.uint64)) * _FNV_PRIME
+            h[live] = hj
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def image_locations_batch(
+    ids: np.ndarray, hot_frac: float = 0.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized image_location — value-identical doubles (the u draws
+    are exact integers < 2^32 / 2^24, so float64 division matches the
+    scalar form bit for bit)."""
+    h = fnv1a64_batch(ids)
+    u1 = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
+    u2 = (h >> np.uint64(32)).astype(np.float64) / 2**32
+    with np.errstate(over="ignore"):
+        u3 = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(
+            np.float64
+        ) / 2**24
+    minlon, minlat, maxlon, maxlat = BBOX
+    lon = minlon + u1 * (maxlon - minlon)
+    lat = minlat + u2 * (maxlat - minlat)
+    if hot_frac > 0.0:
+        hot = u3 < hot_frac
+        lon = np.where(hot, HOT_CENTER[0] + (u1 - 0.5) * 0.008, lon)
+        lat = np.where(hot, HOT_CENTER[1] + (u2 - 0.5) * 0.004, lat)
+    return lon, lat
+
+
 # ---------------------------------------------------------------------------
 # image payload codecs (numpy only — PIL is absent in the sandbox)
 # ---------------------------------------------------------------------------
